@@ -1,0 +1,98 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs a representative subset of the query roster at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus a CDC replay throughput probe
+(generated change stream through the real foreachBatch/MERGE path).
+
+Each query is fully materialized via the noop sink so Catalyst can't
+prune work a count() would skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "broadcast_dim_join",
+    "window_best_order",
+    "union_dedup",
+    "weighted_avg_discount",
+    "match_candidates",
+    "connected_components_chain",
+    "lsn_dedup_events",
+    "golden_event_type",
+    "exact_dedup_docs",
+    "minhash_lsh_dedup",
+    "simhash_near_dups",
+    "ann_bruteforce",
+    "quality_score_docs",
+    "token_counts_docs",
+    "langid_docs",
+    "name_titles_strip",
+    "street_suffix_expand",
+]
+
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))
+
+
+def main() -> None:
+    from dbt_customer360_spark.session import get_spark
+    from dbt_customer360_spark.plans.queries import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    # CDC replay throughput: generated stream -> 4 micro-batches -> MERGE
+    from dbt_customer360_spark.sources.cdc import generate_change_events
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    events = generate_change_events(
+        spark, n_events=CDC_EVENTS, n_repos=200, paths_per_repo=100
+    ).persist()
+    events.count()  # materialize generator outside the timed window
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    t0 = time.time()
+    applier = CDCApplier(spark, f"{root}/repos", buckets=32)
+    replay_batch(applier, events, n_batches=4)
+    cdc_sec = time.time() - t0
+    results["cdc_replay"] = round(cdc_sec, 3)
+    events_per_sec = CDC_EVENTS / cdc_sec
+    shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "cdc_events_per_sec": round(events_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

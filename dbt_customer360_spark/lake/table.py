@@ -1,0 +1,250 @@
+"""LakeTable — a minimal snapshot-based lake table with Iceberg semantics.
+
+The target design (north_rule) is Iceberg ``MERGE INTO`` executed from
+``foreachBatch``. The Iceberg runtime jars are not available in this
+sandbox, so this module implements the same contract as a
+self-contained format the engine can swap for a real Iceberg catalog
+on a cluster (the call-sites only use the API below):
+
+- **data files**: immutable parquet files under ``<root>/data/``.
+- **snapshots**: JSON manifests under ``<root>/snapshots/`` listing
+  the live data files + schema + properties. The table state IS the
+  highest-numbered manifest; writing a manifest is the atomic commit
+  (single ``os.replace`` of a tempfile — readers never see a partial
+  commit).
+- **idempotent commits**: every commit carries an optional
+  ``batch_id``; committed batch ids are recorded in the manifest, and
+  re-applying an already-committed ``batch_id`` is a no-op. This is
+  the exactly-once half that Structured Streaming's at-least-once
+  ``foreachBatch`` needs (SURVEY.md §2.10).
+- **MERGE upsert**: ``merge(batch, keys)`` rewrites the table as
+  ``(target anti-join batch-keys) union (batch upserts)`` — a
+  copy-on-write MERGE, which is exactly what Iceberg CoW does, minus
+  file-level pruning. Partition-level pruning is kept: data files are
+  written bucketed by hash of the merge keys, and only buckets
+  touched by the batch are rewritten (the untouched buckets'
+  files are carried over into the new snapshot unchanged).
+- **schema evolution**: new columns in a batch are added to the table
+  schema (NULL-backfilled lazily at read), and renames are resolved
+  through a versioned column-mapping (``rename_column``), mirroring
+  Iceberg's name-mapping.
+
+Scale notes: the bucket layout means a MERGE touching k of B buckets
+reads/writes only k/B of the table; B is chosen at create time
+(``buckets``) and should be sized so one bucket ≈ a few GB at target
+scale. All data movement is Spark jobs — the driver only manipulates
+manifest JSON (O(#files), not O(rows)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, buckets: int = 16):
+        self.spark = spark
+        self.root = root
+        self.buckets = buckets
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # --- snapshot bookkeeping -------------------------------------------------
+
+    def _snapshot_ids(self) -> list[int]:
+        snaps = []
+        for f in os.listdir(os.path.join(self.root, "snapshots")):
+            if f.endswith(".json"):
+                snaps.append(int(f.split(".")[0]))
+        return sorted(snaps)
+
+    def current_snapshot_id(self) -> int:
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else 0
+
+    def _read_manifest(self, sid: int | None = None) -> dict:
+        sid = sid if sid is not None else self.current_snapshot_id()
+        if sid == 0:
+            return {
+                "snapshot_id": 0,
+                "files": {},          # bucket(str) -> [relative parquet paths]
+                "schema": [],          # ordered [(name, spark ddl type)]
+                "batch_ids": [],
+                "column_mapping": {},  # logical feed name -> physical name
+                "mapping_version": 0,
+            }
+        with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> int:
+        sid = self.current_snapshot_id() + 1
+        manifest["snapshot_id"] = sid
+        path = os.path.join(self.root, "snapshots", f"{sid}.json")
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "snapshots"))
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)  # atomic publish
+        return sid
+
+    def committed_batch_ids(self) -> set[str]:
+        return set(self._read_manifest()["batch_ids"])
+
+    # --- reads ------------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() > 0
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        m = self._read_manifest(snapshot_id)
+        files = [os.path.join(self.root, "data", p) for b in m["files"].values() for p in b]
+        schema_ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
+        if not files:
+            return self.spark.createDataFrame([], schema_ddl or "dummy string")
+        # reading with the manifest schema NULL-backfills columns added
+        # after a file was written (no mergeSchema footer pass needed)
+        df = self.spark.read.schema(schema_ddl).parquet(*files)
+        return df.select(*[n for n, _ in m["schema"]])
+
+    # --- writes ------------------------------------------------------------------
+
+    def _write_bucket_files(self, df: DataFrame, keys: list[str]) -> dict[str, list[str]]:
+        """Write df as one parquet dir per hash-bucket of the merge keys.
+
+        Uses a single Spark write job partitioned by the bucket id, so
+        each bucket's rows land under ``__bucket=<i>/``.
+        """
+        out_id = uuid.uuid4().hex[:12]
+        out_rel = f"w{out_id}"
+        out_abs = os.path.join(self.root, "data", out_rel)
+        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        (
+            df.withColumn("__bucket", bucket_col)
+            .repartition(self.buckets, "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(out_abs)
+        )
+        files: dict[str, list[str]] = {}
+        for entry in os.listdir(out_abs):
+            if entry.startswith("__bucket="):
+                b = entry.split("=")[1]
+                files[b] = [f"{out_rel}/{entry}"]
+        return files
+
+    def _merge_schema(self, manifest: dict, df: DataFrame) -> list[str]:
+        known = {n for n, _ in manifest["schema"]}
+        for field in df.schema.fields:
+            if field.name not in known and field.name != "__bucket":
+                manifest["schema"].append([field.name, field.dataType.simpleString()])
+        return [n for n, _ in manifest["schema"]]
+
+    def overwrite(self, df: DataFrame, keys: list[str], batch_id: str | None = None) -> int:
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["snapshot_id"]
+        cols = self._merge_schema(m, df)
+        df = self._conform(df, m)
+        m["files"] = self._write_bucket_files(df.select(cols), keys)
+        m["keys"] = keys
+        if batch_id is not None:
+            m["batch_ids"].append(batch_id)
+        return self._commit(m)
+
+    def _conform(self, df: DataFrame, manifest: dict) -> DataFrame:
+        for n, t in manifest["schema"]:
+            if n not in df.columns:
+                df = df.withColumn(n, F.lit(None).cast(t))
+        return df.select(*[n for n, _ in manifest["schema"]])
+
+    def merge(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        batch_id: str | None = None,
+        delete_col: str | None = None,
+    ) -> int:
+        """Copy-on-write MERGE: upsert ``batch`` rows by ``keys``.
+
+        Rows where ``delete_col`` is true delete the matching target
+        row. Only hash-buckets containing batch keys are rewritten;
+        untouched buckets' files carry over. Re-running with an
+        already-committed ``batch_id`` is a no-op (exactly-once).
+        """
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["snapshot_id"]
+        if not self.exists() or not m["files"]:
+            if delete_col is not None:
+                batch = batch.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                    delete_col
+                )
+            return self.overwrite(batch, keys, batch_id)
+
+        self._merge_schema(m, batch.drop(delete_col) if delete_col else batch)
+
+        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        batch = batch.withColumn("__bucket", bucket_col)
+        touched = sorted(
+            r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+        )
+        touched_set = {str(b) for b in touched}
+
+        target_files = [
+            os.path.join(self.root, "data", p)
+            for b, paths in m["files"].items()
+            if b in touched_set
+            for p in paths
+        ]
+        upserts = batch
+        if delete_col is not None:
+            upserts = batch.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                delete_col
+            )
+        upserts = self._conform(upserts, m)
+
+        if target_files:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
+            target = self.spark.read.schema(ddl).parquet(*target_files)
+            keep = target.join(batch.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = keep.unionByName(upserts)
+        else:
+            merged = upserts
+
+        new_files = self._write_bucket_files(merged, keys)
+        files = {b: paths for b, paths in m["files"].items() if b not in touched_set}
+        files.update(new_files)
+        m["files"] = files
+        m["keys"] = keys
+        if batch_id is not None:
+            m["batch_ids"].append(batch_id)
+        return self._commit(m)
+
+    # --- schema evolution ----------------------------------------------------------
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Record a feed-side rename: feed column ``new`` maps to the
+        physical column ``old``. Versioned — every call bumps
+        ``mapping_version`` (SURVEY.md §2.10 schema-evolution row)."""
+        m = self._read_manifest()
+        m["column_mapping"][new] = old
+        m["mapping_version"] += 1
+        return self._commit(m)
+
+    def resolve_feed_columns(self, df: DataFrame) -> DataFrame:
+        """Apply the column mapping to an incoming feed batch, so a
+        renamed feed column lands in its physical column."""
+        m = self._read_manifest()
+        for feed_name, physical in m["column_mapping"].items():
+            if feed_name in df.columns and physical not in df.columns:
+                df = df.withColumnRenamed(feed_name, physical)
+        return df
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

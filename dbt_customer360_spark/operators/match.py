@@ -1,0 +1,106 @@
+"""Identity resolution — candidate generation + fuzzy verify.
+
+The reference's core operator is a pairwise theta-join with a giant OR
+of equality disjuncts (rule 1 exact email; rule 2 any of 9 phone
+pairings; rule 3 address-line AND (city+state OR zip+country) —
+identity_resolution/int_customer360__source_matches.sql:56-117),
+followed by a fuzzy post-filter: exact email OR levenshtein name
+similarity >= .95 (source_matches.sql:133-153).
+
+A literal Spark translation (`a.join(b, orExpr)`) degenerates to
+BroadcastNestedLoopJoin — O(n^2) and unusable at 10^10 rows. This
+module decomposes the OR into K independent hash **equi-joins** (one
+per match-key pairing), unions the candidate pairs, and deduplicates
+— the "salted hash-join ... over match keys" the north_star mandates
+(BASELINE.json:6). Each equi-join shuffles only on its own key, AQE
+handles residual skew, and ``max_key_frequency`` caps pathological hot
+keys (shared office phone etc.) before the join to bound the pair
+explosion (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.functions.normalize import levenshtein_similarity
+
+
+@dataclass(frozen=True)
+class MatchRule:
+    """One equality disjunct: left.key_expr == right.key_expr."""
+
+    name: str
+    left_key: str   # column on the left DataFrame
+    right_key: str  # column on the right DataFrame
+
+
+def _cap_hot_keys(df: DataFrame, key: str, id_col: str, max_freq: int) -> DataFrame:
+    """Drop rows whose join-key value occurs more than max_freq times —
+    a frequent-key cutoff computed with a broadcastable count, keeping
+    the candidate join linear in practice."""
+    counts = df.groupBy(key).count().filter(F.col("count") > max_freq).select(key)
+    return df.join(F.broadcast(counts), on=key, how="left_anti")
+
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    rules: list[MatchRule],
+    max_key_frequency: int = 1000,
+) -> DataFrame:
+    """Union of equi-joins, one per rule; output (left_id, right_id, rule).
+
+    NULL and sentinel keys never match because each per-rule input
+    filters them out before joining (the reference reaches the same
+    effect with 'null_<source>' sentinels that are unequal across
+    sources, prep models :79-98).
+    """
+    out: DataFrame | None = None
+    for rule in rules:
+        lk = left.select(
+            F.col(left_id).alias("__lid"), F.col(rule.left_key).alias("__k")
+        ).filter(F.col("__k").isNotNull() & ~F.col("__k").startswith("null_"))
+        rk = right.select(
+            F.col(right_id).alias("__rid"), F.col(rule.right_key).alias("__k")
+        ).filter(F.col("__k").isNotNull() & ~F.col("__k").startswith("null_"))
+        lk = _cap_hot_keys(lk, "__k", "__lid", max_key_frequency)
+        rk = _cap_hot_keys(rk, "__k", "__rid", max_key_frequency)
+        pairs = (
+            lk.join(rk, on="__k")
+            .select(
+                F.col("__lid").alias(left_id),
+                F.col("__rid").alias(right_id),
+                F.lit(rule.name).alias("rule"),
+            )
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    assert out is not None, "no rules"
+    # a pair may match several rules; keep the first rule name for lineage
+    return out.groupBy(left_id, right_id).agg(F.min("rule").alias("rule"))
+
+
+def fuzzy_name_verify(
+    pairs: DataFrame,
+    left_email: str,
+    right_email: str,
+    left_names: list[str],
+    right_names: list[str],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Reference's post-join filter (source_matches.sql:133-153): keep a
+    pair if emails are exactly equal OR any (left name, right name)
+    combination has levenshtein similarity >= threshold. NULL names
+    coalesce to distinct literals 'aaa'/'bbb' so they can never pass.
+    """
+    cond = F.col(left_email) == F.col(right_email)
+    for ln in left_names:
+        for rn in right_names:
+            a = F.coalesce(F.lower(F.col(ln)), F.lit("aaa"))
+            b = F.coalesce(F.lower(F.col(rn)), F.lit("bbb"))
+            cond = cond | (levenshtein_similarity(a, b) >= threshold)
+    return pairs.filter(cond)

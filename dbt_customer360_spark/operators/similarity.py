@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query set is
+  broadcast (it's small by construction); the corpus side streams —
+  one pass, no shuffle of the corpus, per-partition top-k via window
+  on the joined result. Dot products run JVM-side with
+  ``aggregate``/``zip_with`` — no Python in the row path.
+- ``lsh_topk``: random-hyperplane (sign-)LSH bucketing as the scale
+  path — candidates only from matching buckets, then exact cosine.
+  Hyperplanes are deterministic from a seed via hash-derived
+  pseudo-gaussians, so results are reproducible with no driver RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank) — exact, crossJoin with a
+    broadcast query side (query count is small; corpus never shuffles
+    until the final per-query top-k, which AQE coalesces)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> Column:
+    """Deterministic pseudo-gaussian hyperplane as array<double>:
+    component j = sum of 4 centered uniforms derived from
+    xxhash64(plane, j, seed) (CLT approximation — adequate for LSH)."""
+    comps = []
+    for j in range(dim):
+        us = [
+            (F.pmod(F.xxhash64(F.lit(plane), F.lit(j), F.lit(seed + t)), F.lit(100003)) / 100003.0)
+            - 0.5
+            for t in range(4)
+        ]
+        comps.append(sum(us[1:], us[0]))
+    return F.array(*comps)
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, then exact
+    cosine + per-query rank. Recall tunable via n_planes (fewer planes
+    -> bigger buckets -> higher recall, more compute)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines (task brief, first-class):
+
+- language ID (character/stopword n-gram heuristic),
+- quality scoring (length / punctuation / stopword ratios),
+- token counting (whitespace + BPE-ish regex),
+- document fingerprinting (rolling polynomial hash).
+
+Everything is native column expressions — JVM-side, codegen'd, no
+Python in the row path. Each has an ``*_sql`` twin rendering the
+equivalent DuckDB SQL from the same constants so the driver's oracle
+can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "dans", "que", "une"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"],
+}
+
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(text: Column) -> Column:
+    w = F.split(F.lower(text), r"\s+")
+    return F.filter(w, lambda x: x != "")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit-rate over the first 200 words."""
+    words = F.slice(_words(text), 1, 200)
+    n = F.greatest(F.size(words), F.lit(1))
+    out = {}
+    for lang, sw in STOPWORDS.items():
+        hits = F.size(F.filter(words, lambda x: x.isin(sw)))
+        out[lang] = hits / n
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over lang_scores; 'und' if the best score is 0."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id_sql(text: str) -> str:
+    """DuckDB twin of lang_id: same stopword lists, same argmax with
+    lexicographic lang tie-break (array_max on (score, lang) structs)."""
+    parts = []
+    for lang, sw in sorted(STOPWORDS.items()):
+        in_list = ", ".join(f"'{w}'" for w in sw)
+        score = (
+            f"(len(list_filter(ws, x -> x in ({in_list}))) * 1.0 / greatest(len(ws), 1))"
+        )
+        parts.append(f"struct_pack(score := {score}, lang := '{lang}')")
+    arr = f"[{', '.join(parts)}]"
+    return (
+        f"(select case when m.score > 0 then m.lang else 'und' end from ("
+        f"select list_max({arr}) as m from (select list_filter("
+        f"list_transform(str_split_regex(lower({text}), '\\s+'), x -> x), x -> x <> '')"
+        f"[1:200] as ws)))"
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + single punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_REGEX), F.lit(0)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punct/stopword features + a composite score in [0,1]."""
+    n_chars = F.length(text)
+    words = _words(text)
+    n_words = F.size(words)
+    mean_word_len = F.when(n_words > 0, n_chars / n_words)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    en_sw = STOPWORDS["en"]
+    sw_ratio = F.when(
+        n_words > 0, F.size(F.filter(words, lambda x: x.isin(en_sw))) / n_words
+    ).otherwise(F.lit(0.0))
+    # integer points / 100.0 so the score is a single exact-int division
+    # (identical IEEE double on any engine — no float-accumulation drift)
+    points = (
+        F.when((n_words >= 10) & (n_words <= 100000), F.lit(40)).otherwise(F.lit(0))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(30)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.2, F.lit(15)).otherwise(F.lit(0))
+        + F.when(sw_ratio >= 0.05, F.lit(15)).otherwise(F.lit(0))
+    )
+    score = points / F.lit(100.0)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": sw_ratio,
+        "quality_score": score,
+    }
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Document fingerprint: min rolling hash over word ``window``-grams
+    (winnowing-lite) — stable under small edits outside the min window."""
+    words = _words(text)
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - window, F.lit(0)))
+    grams = F.when(cnt < window, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)))
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

@@ -1,0 +1,989 @@
+"""Driver-contract query roster.
+
+One named query per implemented operator family from SURVEY.md §2,
+each with a DuckDB oracle in ``ORACLES`` (same column names/aliases on
+both sides — the driver hashes values after sorting columns by name).
+
+Determinism rules used throughout (SURVEY.md §7.3):
+- money/metric sums go through DECIMAL so partial-aggregation order
+  cannot change the result; final cast to double on BOTH sides;
+- every window order has a deterministic final tie-break key;
+- string-agg results are sorted; collect_set is array_sort'ed;
+- normalizer oracles are *generated from the same word lists* as the
+  Spark expressions (functions/normalize.py ``*_sql`` twins), so the
+  two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbt_customer360_spark.functions import normalize as N
+from dbt_customer360_spark.operators import dedup, golden, match, similarity, textstats
+from dbt_customer360_spark.operators.components import connected_components
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+DEC = "decimal(22,6)"
+
+# =============================================================================
+# Relational core (SURVEY.md §2.2-2.8)
+# =============================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(22,6))) as double) as sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(22,6))) as double) as sum_base_price,
+           cast(sum(cast(l_extendedprice as decimal(22,6)) * (1 - cast(l_discount as decimal(22,6)))) as double) as sum_disc_price,
+           cast(sum(cast(l_discount as decimal(22,6))) / count(*) as double) as avg_disc,
+           count(*) as count_order
+    from lineitem
+    group by l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf):
+    """A1/A3/A4: hash group-by with coalesced metric sums (customer.sql:34-51)."""
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        (F.sum(disc) / F.count("*")).cast("double").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "broadcast_dim_join",
+    """
+    select r.r_name as region_name, n.n_name as nation_name,
+           count(*) as n_customers,
+           cast(sum(cast(c_acctbal as decimal(22,6))) as double) as total_acctbal
+    from customer c
+    join nation n on c.c_nationkey = n.n_nationkey
+    join region r on n.n_regionkey = r.r_regionkey
+    group by 1, 2
+    """,
+)
+def broadcast_dim_join(spark, sf):
+    """J1/J11: equi-joins to small dims — explicitly broadcast."""
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "theta_or_dim_join",
+    """
+    select n.n_name as nation_name, r.r_name as region_name
+    from nation n
+    left join region r
+      on n.n_regionkey = r.r_regionkey or substr(n.n_name, 1, 1) = substr(r.r_name, 1, 1)
+    order by nation_name, region_name
+    """,
+)
+def theta_or_dim_join(spark, sf):
+    """J2: OR-disjunct theta-join to a tiny broadcast dim
+    (int_customer360__stripe.sql:138-145 state-code-or-long-name join)."""
+    n = _t(spark, sf, "nation")
+    r = F.broadcast(_t(spark, sf, "region"))
+    cond = (n.n_regionkey == r.r_regionkey) | (
+        F.substring(n.n_name, 1, 1) == F.substring(r.r_name, 1, 1)
+    )
+    return (
+        n.join(r, cond, "left")
+        .select(F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+        .orderBy("nation_name", "region_name")
+    )
+
+
+@query(
+    "window_best_order",
+    """
+    select * from (
+      select o_custkey, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey asc) as idx
+      from orders) where idx = 1
+    """,
+)
+def window_best_order(spark, sf):
+    """W4/P8/O3: best value per entity = row_number()=1 (summary.sql:53-100)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") == 1)
+    )
+
+
+@query(
+    "union_dedup",
+    """
+    select o_custkey, count(*) as n_orders
+    from (
+      select o_orderkey, o_custkey from orders where o_orderpriority like '1%'
+      union all
+      select o_orderkey, o_custkey from orders where o_totalprice > 100
+    )
+    group by o_orderkey, o_custkey
+    -- dedup-after-fanout: group by all columns (A1), then roll up
+    """,
+)
+def union_dedup(spark, sf):
+    """U1 + A1: schema-aligned union all, then GROUP BY all columns to
+    dedup the fanout (int_customer360__stripe.sql:469 idiom)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority").like("1%")).select("o_orderkey", "o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100).select("o_orderkey", "o_custkey")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("n_dups"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# fix oracle for union_dedup (needs the same two-level rollup)
+ORACLES["union_dedup"] = """
+    select o_custkey, count(*) as n_orders
+    from (
+      select o_orderkey, o_custkey, count(*) as n_dups
+      from (
+        select o_orderkey, o_custkey from orders where o_orderpriority like '1%'
+        union all
+        select o_orderkey, o_custkey from orders where o_totalprice > 100
+      )
+      group by o_orderkey, o_custkey
+    )
+    group by o_custkey
+"""
+
+
+@query(
+    "count_distinct_having",
+    """
+    select event_type, count(distinct user_id) as n_users, count(*) as n_events
+    from events
+    group by event_type
+    having count(distinct user_id) >= 5
+    """,
+)
+def count_distinct_having(spark, sf):
+    """A7/A8 (analyses_old/elan/email_campaign_list_360.sql:31,38)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .filter(F.col("n_users") >= 5)
+    )
+
+
+@query(
+    "weighted_avg_discount",
+    """
+    select l_returnflag,
+           case when sum(cast(l_quantity as decimal(22,6))) <> 0
+                then cast(sum(cast(l_discount as decimal(22,6)) * cast(l_quantity as decimal(22,6))) as double)
+                     / cast(sum(cast(l_quantity as decimal(22,6))) as double) end as weighted_avg_disc
+    from lineitem group by l_returnflag
+    """,
+)
+def weighted_avg_discount(spark, sf):
+    """A4: safe_divide(sum(avg*count), sum(count)) (customer.sql:92-96)."""
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_discount").cast(DEC)
+    qty = F.col("l_quantity").cast(DEC)
+    # exact decimal sums, single double division at the end — the only
+    # inexact step is one IEEE op, identical on any engine
+    return li.groupBy("l_returnflag").agg(
+        F.when(
+            F.sum(qty) != 0,
+            F.sum(disc * qty).cast("double") / F.sum(qty).cast("double"),
+        ).alias("weighted_avg_disc")
+    )
+
+
+@query(
+    "string_agg_nations",
+    """
+    select r.r_name as region_name,
+           string_agg(distinct n.n_name, ',' order by n.n_name) as nations
+    from nation n join region r on n.n_regionkey = r.r_regionkey
+    group by r.r_name
+    """,
+)
+def string_agg_nations(spark, sf):
+    """A6: deterministic string_agg(distinct) via sorted collect_set
+    (mapping.sql:169-179; order made explicit, SURVEY.md §2.4 A6)."""
+    n = _t(spark, sf, "nation")
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"))
+    )
+
+
+@query(
+    "levenshtein_pairs",
+    """
+    select a.n_name as name_a, b.n_name as name_b,
+           1.0 - levenshtein(lower(a.n_name), lower(b.n_name))
+               / greatest(length(a.n_name), length(b.n_name)) as similarity
+    from nation a join nation b on a.n_nationkey < b.n_nationkey
+    where 1.0 - levenshtein(lower(a.n_name), lower(b.n_name))
+               / greatest(length(a.n_name), length(b.n_name)) >= 0.3
+    """,
+)
+def levenshtein_pairs(spark, sf):
+    """F11/J8: levenshtein similarity post-join filter
+    (macros/levenshtein_distance.sql:27-30; threshold idiom of
+    source_matches.sql:151)."""
+    n = _t(spark, sf, "nation")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    sim = F.lit(1.0) - F.levenshtein(F.lower("name_a"), F.lower("name_b")) / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select("name_a", "name_b", sim.alias("similarity"))
+        .filter(F.col("similarity") >= 0.3)
+    )
+
+
+@query(
+    "surrogate_mapping",
+    f"""
+    select {N.surrogate_key_sql('c_custkey', 'c_nationkey')} as customer360_id,
+           c_custkey,
+           coalesce(cast(c_nationkey as varchar), 'null_customer') as nation_sentinel,
+           '{{' || '"customer":"' || coalesce(cast(c_custkey as varchar), '') || '"' || '}}'
+             as source_ids
+    from customer
+    """,
+)
+def surrogate_mapping(spark, sf):
+    """F12/P5 + mapping-table idioms: md5 surrogate key with dbt's null
+    sentinel (mapping.sql:107,205), null-sentinel encode (prep models),
+    string-built JSON source_ids (mapping.sql:122-126)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        N.surrogate_key("c_custkey", "c_nationkey").alias("customer360_id"),
+        "c_custkey",
+        N.null_sentinel(F.col("c_nationkey").cast("string"), "customer").alias(
+            "nation_sentinel"
+        ),
+        F.concat(
+            F.lit('{"customer":"'),
+            F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
+            F.lit('"}'),
+        ).alias("source_ids"),
+    )
+
+
+@query(
+    "monthly_metrics",
+    """
+    select cast(date_trunc('month', o_orderdate) as timestamp) as order_month,
+           count(*) as n_orders,
+           count(distinct o_custkey) as n_customers,
+           cast(sum(cast(o_totalprice as decimal(22,6))) as double) as revenue
+    from orders group by 1
+    """,
+)
+def monthly_metrics(spark, sf):
+    """F14: date_trunc month rollup (analyses_old monthly_metrics)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    select * from (
+      select p_brand, p_partkey, p_retailprice,
+             dense_rank() over (partition by p_brand
+                                order by p_retailprice desc, p_partkey asc) as rk
+      from part) where rk <= 3
+    """,
+)
+def topk_per_group(spark, sf):
+    """O3/W3: top-k per group via dense_rank + filter."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "clean_normalize",
+    """
+    select doc_id,
+           case when trim(source) = '' then null else trim(source) end as source_clean,
+           lower(lang) as lang_norm,
+           length(text) as n_chars
+    from documents
+    """,
+)
+def clean_normalize(spark, sf):
+    """P2/F1/F8: empty->NULL, trim, case-normalize (stripe.sql:481-533)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        N.empty_to_null(F.trim(F.col("source"))).alias("source_clean"),
+        F.lower("lang").alias("lang_norm"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "split_regex_parse",
+    """
+    select event_id,
+           regexp_extract(props, '"k": ([0-9]+)', 1) as k_value,
+           split_part(event_type, 'i', 1) as type_head,
+           regexp_replace(event_type, '[aeiou]', '', 'g') as type_consonants
+    from events
+    """,
+)
+def split_regex_parse(spark, sf):
+    """F3/F5: regexp_replace / regexp_extract / split_part parsing
+    (stripe.sql:92-93 phone strip, 158-159 email split)."""
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).alias("k_value"),
+        F.split_part(F.col("event_type"), F.lit("i"), F.lit(1)).alias("type_head"),
+        F.regexp_replace("event_type", "[aeiou]", "").alias("type_consonants"),
+    )
+
+
+@query(
+    "safe_divide_metrics",
+    """
+    select o_orderstatus,
+           cast(case when count(case when o_totalprice > 200 then 1 end) <> 0
+                then count(*) * 1.0 / count(case when o_totalprice > 200 then 1 end)
+                end as double) as orders_per_big_order
+    from orders group by o_orderstatus
+    """,
+)
+def safe_divide_metrics(spark, sf):
+    """F15: safe_divide -> NULL on zero denominator."""
+    o = _t(spark, sf, "orders")
+    big = F.count(F.when(F.col("o_totalprice") > 200, 1))
+    return o.groupBy("o_orderstatus").agg(
+        N.safe_divide(F.count("*") * 1.0, big).cast("double").alias("orders_per_big_order")
+    )
+
+
+# =============================================================================
+# Identity resolution (SURVEY.md §2.3 J5-J9)
+# =============================================================================
+
+_MATCH_ORACLE = """
+    with a as (select c_custkey as id_a,
+                      cast(c_nationkey as varchar) || '|' || c_mktsegment as k1,
+                      cast(floor(c_acctbal / 10) as varchar) as k2
+               from customer where c_custkey % 2 = 0),
+         b as (select c_custkey as id_b,
+                      cast(c_nationkey as varchar) || '|' || c_mktsegment as k1,
+                      cast(floor(c_acctbal / 10) as varchar) as k2
+               from customer where c_custkey % 2 = 1)
+    select a.id_a, b.id_b,
+           min(case when a.k1 = b.k1 then 'r1_segment' else 'r2_balance' end) as rule
+    from a join b on a.k1 = b.k1 or a.k2 = b.k2
+    group by a.id_a, b.id_b
+"""
+
+
+@query("match_candidates", _MATCH_ORACLE)
+def match_candidates(spark, sf):
+    """J5 (the core operator): OR-of-equalities match join decomposed
+    into a union of hash equi-joins + dedup (source_matches.sql:56-117;
+    the oracle runs the naive OR join, proving pair-set equivalence)."""
+    c = _t(spark, sf, "customer")
+    k1 = F.concat_ws("|", F.col("c_nationkey").cast("string"), "c_mktsegment")
+    k2 = F.floor(F.col("c_acctbal") / 10).cast("string")
+    base = c.select(F.col("c_custkey"), k1.alias("k1"), k2.alias("k2"))
+    a = base.filter(F.col("c_custkey") % 2 == 0).withColumnRenamed("c_custkey", "id_a")
+    b = base.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed("c_custkey", "id_b")
+    rules = [
+        match.MatchRule("r1_segment", "k1", "k1"),
+        match.MatchRule("r2_balance", "k2", "k2"),
+    ]
+    return match.candidate_pairs(a, b, "id_a", "id_b", rules, max_key_frequency=100000)
+
+
+@query(
+    "connected_components_chain",
+    """
+    with edges as (
+      select c_custkey as src, c_custkey + 1 as dst
+      from customer
+      where c_custkey % 10 <> 9 and c_custkey + 1 <= (select max(c_custkey) from customer)
+    ), nodes as (
+      select src as node from edges union select dst from edges
+    )
+    select node, cast(floor(node / 10) * 10 as bigint) as component
+    from nodes
+    """,
+)
+def connected_components_chain(spark, sf):
+    """J9 upgrade: true connected components over chain edges — multi-hop
+    transitivity the reference's full-outer merge misses (SURVEY.md §7.3).
+    Oracle exploits the chain structure's closed form."""
+    c = _t(spark, sf, "customer")
+    mx = c.agg(F.max("c_custkey")).collect()[0][0]
+    edges = (
+        c.filter((F.col("c_custkey") % 10 != 9) & (F.col("c_custkey") + 1 <= mx))
+        .select(F.col("c_custkey").alias("src"), (F.col("c_custkey") + 1).alias("dst"))
+    )
+    return connected_components(edges)
+
+
+# =============================================================================
+# CDC / golden record (SURVEY.md §2.10 + §2.5)
+# =============================================================================
+
+
+@query(
+    "lsn_dedup_events",
+    """
+    select * exclude(rn) from (
+      select user_id, event_id, event_type, props,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rn
+      from events) where rn = 1
+    """,
+)
+def lsn_dedup_events(spark, sf):
+    """Max-LSN last-writer-wins dedup window (north_star; SURVEY.md §2.5
+    'max-LSN dedup window'), keyed per user with ts+id ordering."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "props")
+    )
+
+
+# oracle column set must match: recompute using same projection
+ORACLES["lsn_dedup_events"] = """
+    select user_id, event_id, event_type, props from (
+      select user_id, event_id, event_type, props, ts,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rn
+      from events) t where rn = 1
+"""
+
+
+@query(
+    "cdc_final_state",
+    """
+    select user_id, content, max_lsn from (
+      select user_id,
+             event_type || ':' || props as content,
+             event_type,
+             event_id as max_lsn,
+             row_number() over (partition by user_id order by event_id desc) as rn
+      from events) t
+    where rn = 1 and event_type <> 'error'
+    """,
+)
+def cdc_final_state(spark, sf):
+    """End-to-end CDC replay through the REAL applier: events become an
+    LSN-ordered change stream ('error' = delete), applied in 4
+    micro-batches via LakeTable MERGE with idempotent commits; the
+    oracle is the SQL last-writer-wins closed form. Exercises S5/S6,
+    the dedup window, MERGE, and lineage in the driver's gate."""
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    e = _t(spark, sf, "events")
+    stream = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.lit("users").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat_ws(":", "event_type", "props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_final_state_")
+    applier = CDCApplier(spark, f"{root}/repos", buckets=8)
+    replay_batch(applier, stream, n_batches=4)
+    live = applier.table.read().filter(~F.col("__deleted"))
+    return live.select(
+        F.col("path").cast("bigint").alias("user_id"),
+        "content",
+        F.col("__max_lsn").alias("max_lsn"),
+    )
+
+
+@query(
+    "golden_event_type",
+    """
+    select user_id, event_type as golden_event_type from (
+      select user_id, event_type,
+             row_number() over (
+               partition by user_id
+               order by value_count desc, value_last_seen desc, event_type asc) as idx
+      from (
+        select user_id, event_type,
+               count(*) over (partition by user_id, event_type) as value_count,
+               max(ts) over (partition by user_id, event_type) as value_last_seen,
+               row_number() over (partition by user_id, event_type order by event_id) as first_of_value
+        from events) where first_of_value = 1
+    ) where idx = 1
+    """,
+)
+def golden_event_type(spark, sf):
+    """W1-W4/P8: the confidence-ranking idiom (customer360__name.sql:110-139)
+    — frequency, then recency, then deterministic tie-break; index=1 is
+    the golden value."""
+    e = _t(spark, sf, "events")
+    ranked = golden.rank_values(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        "user_id",
+        "event_type",
+        recency_col=F.col("ts"),
+    )
+    return (
+        ranked.filter(F.col("index") == 1)
+        .select("user_id", F.col("event_type").alias("golden_event_type"))
+    )
+
+
+# =============================================================================
+# Normalizer parity (SURVEY.md §2.9 M1-M6) — oracles generated from the
+# SAME word lists via functions/normalize.py *_sql twins
+# =============================================================================
+
+_TITLES_SAMPLE = ["Dr", "Mrs", "The Rt Hon", "Capt", "Prof. Dr"]
+
+
+def _title_input_sql() -> str:
+    arr = ", ".join(f"'{t}'" for t in _TITLES_SAMPLE)
+    return (
+        f"(case when c_custkey % 3 = 0 then ([{arr}][(c_custkey % 5 + 1)::int]) || ' ' else '' end)"
+        " || 'Alice ' || c_name"
+    )
+
+
+def _title_input_spark() -> F.Column:
+    arr = F.array(*[F.lit(t) for t in _TITLES_SAMPLE])
+    prefix = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.element_at(arr, (F.col("c_custkey") % 5 + 1).cast("int")), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    return F.concat(prefix, F.lit("Alice "), F.col("c_name"))
+
+
+_nt_strip, _nt_tag = N.name_titles_sql("full_name")
+
+ORACLES["name_titles_strip"] = f"""
+    with named as (select c_custkey, {_title_input_sql()} as full_name from customer)
+    select c_custkey, full_name,
+           {_nt_strip} as name_no_title,
+           {_nt_tag} as name_title
+    from named
+"""
+
+
+@query("name_titles_strip")
+def name_titles_strip(spark, sf):
+    """M1: strip 113 honorifics (macros/name_titles.sql:118-133)."""
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", _title_input_spark().alias("full_name")
+    )
+    no_title, title = N.name_titles("full_name")
+    return c.select(
+        "c_custkey", "full_name", no_title.alias("name_no_title"), title.alias("name_title")
+    )
+
+
+_SUFFIX_SAMPLE = ["Jr", "Sr", "iii", "esq", "Junior"]
+_ns_strip, _ns_tag = N.name_suffixes_sql("full_name")
+
+ORACLES["name_suffixes_strip"] = f"""
+    with named as (
+      select c_custkey,
+             'Bob ' || c_name ||
+             (case when c_custkey % 2 = 0
+                   then ' ' || (['{"','".join(_SUFFIX_SAMPLE)}'][(c_custkey % 5 + 1)::int])
+                   else '' end) as full_name
+      from customer)
+    select c_custkey, full_name,
+           {_ns_strip} as name_no_suffix,
+           {_ns_tag} as name_suffix
+    from named
+"""
+
+
+@query("name_suffixes_strip")
+def name_suffixes_strip(spark, sf):
+    """M2: strip 16 generational suffixes (macros/name_suffixes.sql)."""
+    arr = F.array(*[F.lit(s) for s in _SUFFIX_SAMPLE])
+    suffix = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(F.lit(" "), F.element_at(arr, (F.col("c_custkey") % 5 + 1).cast("int"))),
+    ).otherwise(F.lit(""))
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", F.concat(F.lit("Bob "), F.col("c_name"), suffix).alias("full_name")
+    )
+    no_suffix, sfx = N.name_suffixes("full_name")
+    return c.select(
+        "c_custkey", "full_name", no_suffix.alias("name_no_suffix"), sfx.alias("name_suffix")
+    )
+
+
+_ORG_SAMPLE = ["Inc", "Llc", "Gmbh", "Corp", "Ltd"]
+_og_strip, _og_tag = N.org_suffixes_sql("org_name")
+
+ORACLES["org_suffixes_strip"] = f"""
+    with named as (
+      select s_suppkey,
+             s_name || (case when s_suppkey % 4 = 0 then ', ' when s_suppkey % 4 = 1 then ' ' else '' end)
+                    || (case when s_suppkey % 4 < 2
+                             then (['{"','".join(_ORG_SAMPLE)}'][(s_suppkey % 5 + 1)::int])
+                             else '' end) as org_name
+      from supplier)
+    select s_suppkey, org_name,
+           {_og_strip} as org_no_suffix,
+           {_og_tag} as org_suffix
+    from named
+"""
+
+
+@query("org_suffixes_strip")
+def org_suffixes_strip(spark, sf):
+    """M3: strip 46 org suffixes in 5 punctuation contexts
+    (macros/org_suffixes.sql:52-75)."""
+    s = _t(spark, sf, "supplier")
+    arr = F.array(*[F.lit(x) for x in _ORG_SAMPLE])
+    sep = (
+        F.when(F.col("s_suppkey") % 4 == 0, F.lit(", "))
+        .when(F.col("s_suppkey") % 4 == 1, F.lit(" "))
+        .otherwise(F.lit(""))
+    )
+    sfx = F.when(
+        F.col("s_suppkey") % 4 < 2, F.element_at(arr, (F.col("s_suppkey") % 5 + 1).cast("int"))
+    ).otherwise(F.lit(""))
+    named = s.select(
+        "s_suppkey", F.concat(F.col("s_name"), sep, sfx).alias("org_name")
+    )
+    no_suffix, tag = N.org_suffixes("org_name")
+    return named.select(
+        "s_suppkey", "org_name", no_suffix.alias("org_no_suffix"), tag.alias("org_suffix")
+    )
+
+
+_STREET_SAMPLE = ["St", "Ave", "Blvd", "Dr", "Ln", "Rd", "Ct", "Pkwy"]
+
+ORACLES["street_suffix_expand"] = f"""
+    with addr as (
+      select c_custkey,
+             cast(c_custkey as varchar) || ' Main ' ||
+             (['{"','".join(_STREET_SAMPLE)}'][(c_custkey % 8 + 1)::int]) as address_line_1
+      from customer)
+    select c_custkey, address_line_1,
+           {N.street_suffixes_sql('address_line_1')} as address_line_1_long
+    from addr
+"""
+
+
+@query("street_suffix_expand")
+def street_suffix_expand(spark, sf):
+    """M4: expand street abbreviations using the COLLAPSED 215-entry map
+    (macros/street_suffixes.sql quirk, SURVEY.md §2.9 M4)."""
+    c = _t(spark, sf, "customer")
+    arr = F.array(*[F.lit(x) for x in _STREET_SAMPLE])
+    addr = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit(" Main "),
+        F.element_at(arr, (F.col("c_custkey") % 8 + 1).cast("int")),
+    )
+    named = c.select("c_custkey", addr.alias("address_line_1"))
+    return named.select(
+        "c_custkey",
+        "address_line_1",
+        N.street_suffixes("address_line_1").alias("address_line_1_long"),
+    )
+
+
+_l1, _l2 = N.split_address_lines_sql("address")
+
+ORACLES["split_address"] = f"""
+    with addr as (
+      select c_custkey,
+             cast(c_custkey as varchar) || ' Oak Ave' ||
+             (case when c_custkey % 4 = 0 then ', Apt 5'
+                   when c_custkey % 4 = 1 then ' Suite 12'
+                   when c_custkey % 4 = 2 then ' FL 3'
+                   else '' end) as address
+      from customer)
+    select c_custkey, address,
+           {_l1} as address_line_1,
+           {_l2} as address_line_2
+    from addr
+"""
+
+
+@query("split_address")
+def split_address(spark, sf):
+    """M5: split address into line_1/line_2 on commas or 29
+    secondary-unit designators (macros/split_address_lines.sql)."""
+    c = _t(spark, sf, "customer")
+    tail = (
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(", Apt 5"))
+        .when(F.col("c_custkey") % 4 == 1, F.lit(" Suite 12"))
+        .when(F.col("c_custkey") % 4 == 2, F.lit(" FL 3"))
+        .otherwise(F.lit(""))
+    )
+    named = c.select(
+        "c_custkey",
+        F.concat(F.col("c_custkey").cast("string"), F.lit(" Oak Ave"), tail).alias("address"),
+    )
+    l1, l2 = N.split_address_lines("address")
+    return named.select(
+        "c_custkey", "address", l1.alias("address_line_1"), l2.alias("address_line_2")
+    )
+
+
+# =============================================================================
+# Training-data ops (task brief: dedup / similarity / text analysis)
+# =============================================================================
+
+
+@query(
+    "exact_dedup_docs",
+    """
+    select doc_id, text_hash from (
+      select doc_id, md5(text) as text_hash,
+             row_number() over (partition by md5(text) order by doc_id) as rn
+      from documents) where rn = 1
+    """,
+)
+def exact_dedup_docs(spark, sf):
+    """Exact dedup by content hash, deterministic min-id winner."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("minhash_lsh_dedup")  # hash-family specific -> rows-only check
+def minhash_lsh_dedup(spark, sf):
+    """MinHash+LSH near-dup candidates over documents (shingle ->
+    minhash -> band -> bucket equi-join; frequent-bucket cap)."""
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+@query("simhash_near_dups")  # hash-family specific -> rows-only check
+def simhash_near_dups_q(spark, sf):
+    """SimHash near-dup candidates (prefix-bucket LSH + hamming)."""
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_dups(d, "doc_id", "text", prefix_bits=12)
+
+
+@query("ngram_jaccard_dedup")  # set algebra in Spark; oracle todo -> rows-only
+def ngram_jaccard_dedup(spark, sf):
+    """Exact n-gram Jaccard pairs, blocked by lang to bound the join."""
+    d = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2, block_col="lang")
+
+
+@query(
+    "ann_bruteforce",
+    """
+    select query_id, neighbor_id, rank from (
+      select q.vec_id as query_id, c.vec_id as neighbor_id,
+             row_number() over (partition by q.vec_id
+               order by list_cosine_similarity(q.embedding, c.embedding) desc,
+                        c.vec_id asc) as rank
+      from embeddings c
+      join embeddings q on q.vec_id < 8 and c.vec_id <> q.vec_id
+    ) where rank <= 5
+    """,
+)
+def ann_bruteforce(spark, sf):
+    """Brute-force cosine top-k (similarity-search baseline); broadcast
+    query side, corpus never shuffled before the per-query top-k."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, q, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@query("ann_lsh")  # hyperplane-hash specific -> rows-only check
+def ann_lsh(spark, sf):
+    """Sign-LSH bucketed ANN (the 100TB-scale path for similarity search)."""
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(e, q, dim=dim, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+_QUALITY_ORACLE = """
+    with base as (
+      select doc_id, text, length(text) as n_chars,
+             list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '') as ws,
+             len(regexp_extract_all(text, '[^\\w\\s]')) as n_punct
+      from documents),
+    feat as (
+      select doc_id, n_chars, len(ws) as n_words,
+             case when n_chars > 0 then n_punct * 1.0 / n_chars else 0.0 end as punct_ratio,
+             case when len(ws) > 0 then
+               len(list_filter(ws, x -> x in ('the','and','of','to','in','is','that','it','was','for'))) * 1.0 / len(ws)
+             else 0.0 end as stopword_ratio,
+             case when len(ws) > 0 then n_chars * 1.0 / len(ws) end as mean_word_len
+      from base)
+    select doc_id, n_chars, n_words, punct_ratio, stopword_ratio,
+           (case when n_words >= 10 and n_words <= 100000 then 40 else 0 end
+            + case when mean_word_len >= 3 and mean_word_len <= 12 then 30 else 0 end
+            + case when punct_ratio <= 0.2 then 15 else 0 end
+            + case when stopword_ratio >= 0.05 then 15 else 0 end)
+           / cast(100.0 as double) as quality_score
+    from feat
+"""
+
+
+@query("quality_score_docs", _QUALITY_ORACLE)
+def quality_score_docs(spark, sf):
+    """Text quality scoring (length/punct/stopword features)."""
+    d = _t(spark, sf, "documents")
+    feats = textstats.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["quality_score"].alias("quality_score"),
+    )
+
+
+@query(
+    "token_counts_docs",
+    """
+    select doc_id,
+           len(list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '')) as ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bpe_tokens
+    from documents
+    """,
+)
+def token_counts_docs(spark, sf):
+    """Token counting: whitespace + BPE-ish regex."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("ws_tokens"),
+        textstats.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _langid_oracle() -> str:
+    parts = []
+    for lang, sw in sorted(textstats.STOPWORDS.items()):
+        in_list = ", ".join(f"'{w}'" for w in sw)
+        parts.append(
+            "struct_pack(score := len(list_filter(ws, x -> x in (" + in_list + "))) * 1.0 "
+            "/ greatest(len(ws), 1), lang := '" + lang + "')"
+        )
+    arr = "[" + ", ".join(parts) + "]"
+    return f"""
+        with base as (
+          select doc_id,
+                 list_filter(str_split_regex(lower(text), '\\s+'), x -> x <> '')[1:200] as ws
+          from documents),
+        scored as (select doc_id, list_max({arr}) as m from base)
+        select doc_id, case when m.score > 0 then m.lang else 'und' end as lang_pred
+        from scored
+    """
+
+
+ORACLES["langid_docs"] = _langid_oracle()
+
+
+@query("langid_docs")
+def langid_docs(spark, sf):
+    """Language ID via stopword-hit-rate argmax (n-gram heuristic)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query("fingerprint_docs")  # xxhash64-specific -> rows-only check
+def fingerprint_docs(spark, sf):
+    """Document fingerprint: min rolling hash over 8-gram windows."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query("multimodal_features")  # binary plumbing; deterministic fake decode -> rows-only
+def multimodal_features(spark, sf):
+    """Multimodal plumbing: binary media column -> mapInPandas feature
+    extraction (deterministic fake decode; real codecs stubbed)."""
+    from dbt_customer360_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, n=256)
+    return multimodal.extract_features(media)

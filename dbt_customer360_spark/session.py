@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the engine.
+
+Scale notes (the settings below are chosen for a 1000-executor /
+100 TB deployment and merely *work* on local[32]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching replace most manual
+  tuning at scale.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+  AQE coalesces down. On a real cluster set it ~2-3x total cores.
+- Arrow enabled: every pandas UDF moves data in Arrow batches
+  (input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "dbt_customer360_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``cores`` may be an int (-> ``local[n]``) or a full master string.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = cores if isinstance(cores, str) and cores.startswith(("local", "spark")) else f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = max(2 * n, 32)
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

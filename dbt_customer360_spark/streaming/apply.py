@@ -1,0 +1,187 @@
+"""CDC applier: LSN-ordered change stream -> lake-table MERGE.
+
+The north_star pipeline (BASELINE.json:6):
+
+    readStream -> foreachBatch(batch_df, epoch_id):
+        resolve renamed feed columns (column mapping)
+        dedup to max-LSN row per (repo, path)        # row_number window
+        reject events at-or-below the table's high-watermark LSN
+        salted repartition by (repo, path)           # hot-repo skew
+        MERGE INTO repos                             # delete/upsert
+        append per-partition lineage rows            # offset range, counts
+        record epoch id                              # exactly-once
+
+Exactly-once: foreachBatch is at-least-once; idempotence comes from
+(a) the LakeTable batch-id commit log (re-applying a committed
+epoch is a no-op) and (b) the per-key max-LSN high-watermark column
+stored in the table (stale replays lose the row_number race and are
+additionally filtered by lsn > watermark).
+
+Batch mode (``replay_batch``) drives the same ``apply_batch`` over
+LSN-range slices — used by tests and the scaling bench so both paths
+share one code path.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.lake.table import LakeTable
+from dbt_customer360_spark.operators.dedup import lsn_dedup
+
+KEYS = ["repo", "path"]
+
+
+class CDCApplier:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        lineage_root: str | None = None,
+        salt_partitions: int | None = None,
+        buckets: int = 16,
+    ):
+        self.spark = spark
+        self.table = LakeTable(spark, table_root, buckets=buckets)
+        self.lineage = (
+            LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
+        )
+        self.salt_partitions = salt_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    # --- one micro-batch ---------------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int | str) -> dict:
+        """Apply one micro-batch exactly-once; returns lineage stats."""
+        batch_id = f"epoch-{epoch_id}"
+        if batch_id in self.table.committed_batch_ids():
+            return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
+
+        batch = self.table.resolve_feed_columns(batch)
+
+        # last-writer-wins within the batch
+        deduped = lsn_dedup(batch, KEYS)
+
+        # high-watermark: drop events not newer than the applied LSN for the key.
+        # The watermark join is on the SAME keys as the merge buckets, so at
+        # scale it co-partitions with the MERGE shuffle.
+        if self.table.exists() and "__max_lsn" in [
+            n for n, _ in self.table._read_manifest()["schema"]
+        ]:
+            wm = self.table.read().select(*KEYS, F.col("__max_lsn"))
+            deduped = (
+                deduped.join(wm, on=KEYS, how="left")
+                .filter((F.col("__max_lsn").isNull()) | (F.col("lsn") > F.col("__max_lsn")))
+                .drop("__max_lsn")
+            )
+
+        # salted repartition: spread hot (repo) keys across the cluster before
+        # the expensive exchange into bucket files (north_star salting clause).
+        deduped = deduped.withColumn(
+            "__salt", F.pmod(F.xxhash64(*KEYS, F.col("lsn")), F.lit(self.salt_partitions))
+        ).repartition(self.salt_partitions, "__salt").drop("__salt")
+
+        # lineage stats computed in the same pass (single aggregation job)
+        stats_row = deduped.agg(
+            F.count("*").alias("rows_applied"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+        ).collect()[0]
+
+        # deletes become TOMBSTONES (not physical removals): the row keeps
+        # carrying its __max_lsn watermark so a stale replayed update with a
+        # lower LSN can never resurrect a deleted key. This mirrors
+        # merge-on-read delete semantics; physical cleanup is a compaction
+        # concern, not a correctness one.
+        upserts = (
+            deduped.withColumn("__deleted", F.col("op") == "delete")
+            .withColumn("__max_lsn", F.col("lsn"))
+            .drop("op", "lsn")
+        )
+        sid = self.table.merge(upserts, KEYS, batch_id=batch_id)
+
+        lineage = {
+            "epoch": str(epoch_id),
+            "skipped": False,
+            "rows_applied": stats_row["rows_applied"] or 0,
+            "deletes": stats_row["deletes"] or 0,
+            "min_lsn": stats_row["min_lsn"],
+            "max_lsn": stats_row["max_lsn"],
+            "snapshot_id": sid,
+            "committed_at": time.time(),
+        }
+        if self.lineage is not None and lineage["rows_applied"]:
+            row = self.spark.createDataFrame(
+                [
+                    (
+                        str(epoch_id),
+                        int(lineage["rows_applied"]),
+                        int(lineage["deletes"]),
+                        int(lineage["min_lsn"]),
+                        int(lineage["max_lsn"]),
+                        int(sid),
+                    )
+                ],
+                "epoch string, rows_applied long, deletes long, min_lsn long, max_lsn long, snapshot_id long",
+            )
+            self.lineage.merge(row, ["epoch"], batch_id=f"lineage-{batch_id}")
+        return lineage
+
+    def state(self) -> DataFrame:
+        """Live table state: tombstones filtered, internal columns hidden."""
+        df = self.table.read()
+        if "__deleted" in df.columns:
+            df = df.filter(~F.coalesce(F.col("__deleted"), F.lit(False)))
+        return df.drop("__deleted", "__max_lsn")
+
+    # --- structured streaming ------------------------------------------------------
+
+    def stream(
+        self,
+        events_path: str,
+        checkpoint_dir: str,
+        schema: str | None = None,
+        max_files_per_trigger: int = 4,
+    ):
+        """readStream over an event-parquet directory; foreachBatch apply.
+
+        Resumable from ``checkpoint_dir``; restart-safe because
+        ``apply_batch`` is idempotent per epoch id.
+        """
+        reader = self.spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        if schema:
+            reader = reader.schema(schema)
+        events = reader.parquet(events_path)
+        return (
+            events.writeStream.foreachBatch(
+                lambda df, epoch_id: self.apply_batch(df, epoch_id)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def replay_batch(
+    applier: CDCApplier, events: DataFrame, n_batches: int = 4
+) -> list[dict]:
+    """Split an LSN-ordered event set into n contiguous micro-batches and
+    apply them in order through the same apply_batch path."""
+    bounds = events.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    lo, hi = bounds[0], bounds[1]
+    if lo is None:
+        return []
+    span = (hi - lo + 1) / n_batches
+    out = []
+    for i in range(n_batches):
+        a = int(lo + i * span)
+        b = int(lo + (i + 1) * span) if i < n_batches - 1 else hi + 1
+        out.append(
+            applier.apply_batch(events.filter((F.col("lsn") >= a) & (F.col("lsn") < b)), i)
+        )
+    return out

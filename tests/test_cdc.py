@@ -1,0 +1,143 @@
+"""End-to-end CDC replay correctness (SURVEY.md §5.2 items 2/3/6)."""
+
+import hashlib
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.sources.cdc import generate_change_events
+from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+
+def _python_oracle(rows):
+    """Single-threaded last-LSN-wins reducer (SURVEY.md §5.2.2)."""
+    state = {}
+    for e in sorted(rows, key=lambda r: r.lsn):
+        k = (e.repo, e.path)
+        if e.op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = (e.commit, e.lang, e.content)
+    return state
+
+
+def _engine_state(applier):
+    return {
+        (r.repo, r.path): (r.commit, r.lang, r.content)
+        for r in applier.state().collect()
+    }
+
+
+def _sha(state):
+    return hashlib.sha256(str(sorted(state.items())).encode()).hexdigest()
+
+
+def _events(spark, n=3000):
+    return generate_change_events(spark, n_events=n, n_repos=15, paths_per_repo=8)
+
+
+def test_replay_matches_python_oracle(spark):
+    events = _events(spark)
+    ap = CDCApplier(spark, tempfile.mkdtemp(prefix="cdc_") + "/repos", buckets=4)
+    replay_batch(ap, events, n_batches=3)
+    oracle = _python_oracle(events.collect())
+    engine = _engine_state(ap)
+    assert _sha(engine) == _sha(oracle)
+    # per-row content sha256 invariant (BASELINE.json:15)
+    eng_hashes = {
+        (r.repo, r.path): r.h
+        for r in ap.state()
+        .select("repo", "path", F.sha2("content", 256).alias("h"))
+        .collect()
+    }
+    for k, (_, _, content) in oracle.items():
+        assert eng_hashes[k] == hashlib.sha256(content.encode()).hexdigest()
+
+
+def test_replay_idempotent_and_stale_batch_rejected(spark):
+    events = _events(spark, 2000)
+    ap = CDCApplier(spark, tempfile.mkdtemp(prefix="cdc_") + "/repos", buckets=4)
+    replay_batch(ap, events, n_batches=4)
+    h1 = _sha(_engine_state(ap))
+    # replay an already-committed epoch -> no-op
+    res = ap.apply_batch(events.filter(F.col("lsn") < 500), 0)
+    assert res["skipped"]
+    # replay same data under a NEW epoch id -> high-watermark rejects all
+    ap.apply_batch(events.filter(F.col("lsn") < 500), 99)
+    assert _sha(_engine_state(ap)) == h1
+
+
+def test_batch_order_permutation_within_lsn_semantics(spark):
+    """Applying whole stream as 1 batch == as 5 batches (max-LSN dedup
+    makes the split irrelevant)."""
+    events = _events(spark, 2000)
+    a1 = CDCApplier(spark, tempfile.mkdtemp(prefix="cdc_") + "/repos", buckets=4)
+    replay_batch(a1, events, n_batches=1)
+    a5 = CDCApplier(spark, tempfile.mkdtemp(prefix="cdc_") + "/repos", buckets=4)
+    replay_batch(a5, events, n_batches=5)
+    assert _sha(_engine_state(a1)) == _sha(_engine_state(a5))
+
+
+def test_lineage_rows(spark):
+    events = _events(spark, 1000)
+    root = tempfile.mkdtemp(prefix="cdc_")
+    ap = CDCApplier(spark, f"{root}/repos", f"{root}/lineage", buckets=4)
+    stats = replay_batch(ap, events, n_batches=2)
+    lin = {r.epoch: r for r in ap.lineage.read().collect()}
+    assert set(lin) == {"0", "1"}
+    for s in stats:
+        row = lin[s["epoch"]]
+        assert row.rows_applied == s["rows_applied"]
+        assert row.min_lsn == s["min_lsn"] and row.max_lsn == s["max_lsn"]
+        assert row.snapshot_id == s["snapshot_id"]
+
+
+def test_streaming_foreachbatch_with_checkpoint(spark, tmp_path):
+    """Structured Streaming path: file source + availableNow trigger +
+    checkpoint; final state matches oracle. Restarting over the same
+    checkpoint applies nothing new."""
+    events = _events(spark, 1500)
+    src = str(tmp_path / "events")
+    events.repartition(6).write.parquet(src)
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+    root = str(tmp_path / "lake")
+    ap = CDCApplier(spark, f"{root}/repos", buckets=4)
+    q = ap.stream(src, str(tmp_path / "ckpt"), schema=schema, max_files_per_trigger=2)
+    q.awaitTermination(120)
+    oracle = _python_oracle(events.collect())
+    assert _sha(_engine_state(ap)) == _sha(oracle)
+    snap_before = ap.table.current_snapshot_id()
+    # restart from checkpoint: nothing new to process
+    q2 = ap.stream(src, str(tmp_path / "ckpt"), schema=schema)
+    q2.awaitTermination(60)
+    assert ap.table.current_snapshot_id() == snap_before
+    assert _sha(_engine_state(ap)) == _sha(oracle)
+
+
+def test_schema_evolution_midstream(spark):
+    """Events gain a 'branch' column and rename lang->language midstream;
+    the applier's column mapping + schema merge handle both."""
+    ap = CDCApplier(spark, tempfile.mkdtemp(prefix="cdc_") + "/repos", buckets=2)
+    b0 = spark.createDataFrame(
+        [(1, "insert", "r", "p", "c1", "py", "x")],
+        "lsn long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    ap.apply_batch(b0, 0)
+    # new column appears
+    b1 = spark.createDataFrame(
+        [(2, "update", "r", "q", "c2", "py", "y", "main")],
+        "lsn long, op string, repo string, path string, commit string, lang string, content string, branch string",
+    )
+    ap.apply_batch(b1, 1)
+    # rename lang -> language in the feed
+    ap.table.rename_column("lang", "language")
+    b2 = spark.createDataFrame(
+        [(3, "update", "r", "p", "c3", "go", "z", "dev")],
+        "lsn long, op string, repo string, path string, commit string, language string, content string, branch string",
+    )
+    ap.apply_batch(b2, 2)
+    rows = {r.path: (r.lang, r.branch, r.content) for r in ap.state().collect()}
+    assert rows == {"p": ("go", "dev", "z"), "q": ("py", "main", "y")}

@@ -1,0 +1,80 @@
+"""Identity-resolution fixtures (FIXTURES.md §1.3; reference rules 1-3,
+source_matches.sql:56-117, fuzzy threshold :151)."""
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.operators.components import connected_components
+from dbt_customer360_spark.operators.match import (
+    MatchRule,
+    candidate_pairs,
+    fuzzy_name_verify,
+)
+
+
+def test_rules_and_null_sentinels(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "x@y.com", "555", "n1"),
+            (2, None, None, "n2"),
+            (3, "null_marketo", "777", "n3"),
+        ],
+        "lid long, email string, phone string, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "x@y.com", "000", "m1"),
+            (11, "null_stripe", "777", "m2"),
+            (12, None, None, "m3"),
+        ],
+        "rid long, email string, phone string, name string",
+    )
+    rules = [MatchRule("r1_email", "email", "email"), MatchRule("r2_phone", "phone", "phone")]
+    pairs = {(r.lid, r.rid): r.rule for r in candidate_pairs(left, right, "lid", "rid", rules).collect()}
+    # NULLs and 'null_*' sentinels never join; only real equalities do
+    assert pairs == {(1, 10): "r1_email", (3, 11): "r2_phone"}
+
+
+def test_fuzzy_threshold_boundaries(spark):
+    # 19-char names, 1 edit -> sim = 1 - 1/19 ≈ 0.947 (< .95 -> dropped)
+    # identical -> 1.0 (kept); 20-char 1 edit -> 0.95 exactly (kept)
+    pairs = spark.createDataFrame(
+        [
+            ("a@x.com", "b@x.com", "abcdefghijklmnopqrs", "Xbcdefghijklmnopqrs"),   # .947
+            ("a@x.com", "b@x.com", "abcdefghijklmnopqrst", "Xbcdefghijklmnopqrst"), # .95
+            ("same@x.com", "same@x.com", None, None),                                # email exact
+            ("a@x.com", "b@x.com", None, None),                                      # nothing
+        ],
+        "l_email string, r_email string, l_name string, r_name string",
+    )
+    kept = fuzzy_name_verify(pairs, "l_email", "r_email", ["l_name"], ["r_name"], 0.95)
+    got = [(r.l_email, r.l_name) for r in kept.collect()]
+    assert ("a@x.com", "abcdefghijklmnopqrst") in got
+    assert ("same@x.com", None) in got
+    assert ("a@x.com", "abcdefghijklmnopqrs") not in got
+    assert len(got) == 2
+
+
+def test_hot_key_cap(spark):
+    left = spark.createDataFrame([(i, "hot") for i in range(50)], "lid long, k string")
+    right = spark.createDataFrame([(i, "hot") for i in range(50)], "rid long, k string")
+    pairs = candidate_pairs(left, right, "lid", "rid", [MatchRule("r", "k", "k")], max_key_frequency=10)
+    assert pairs.count() == 0  # hot key dropped entirely, no pair explosion
+
+
+def test_transitivity_via_components(spark):
+    """A-B (email), B-C (phone), no direct A-C edge: the reference's
+    full-outer merge would keep A and C apart; connected components
+    unifies all three (intentional upgrade, SURVEY.md §7.3)."""
+    edges = spark.createDataFrame([("A", "B"), ("B", "C"), ("X", "Y")], "src string, dst string")
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp["A"] == comp["B"] == comp["C"]
+    assert comp["X"] == comp["Y"] != comp["A"]
+
+
+def test_components_long_chain_and_star(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
+    comp = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {0}
+    star = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    comp = {r.node: r.component for r in connected_components(star).collect()}
+    assert set(comp.values()) == {0}

@@ -1,0 +1,134 @@
+"""Dedup / similarity / textstats / golden / multimodal operator tests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.operators import dedup, golden, multimodal, similarity, textstats
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, t string"
+    )
+    out = dedup.exact_dedup(df, "t", ["id"])
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about spark dataframes and shuffle partitions at scale"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "id long, t string")
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in dedup.minhash_lsh_pairs(df, "id", "t", 32, 8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "different")
+    other = " ".join(f"token{i}" for i in range(60))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "id long, t string")
+    s = df.select("id", dedup.simhash(F.col("t")).alias("h")).collect()
+    h = {r.id: r.h for r in s}
+    d12 = bin(h[1] ^ h[2]).count("1")
+    d13 = bin(h[1] ^ h[3]).count("1")
+    assert d12 < d13
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")], "id long, t string"
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, "id", "t", n=2, threshold=0.5).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(30, 8).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -2
+    expect = list(np.argsort(-sims)[:3])
+    got = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == expect
+
+
+def test_lsh_topk_buckets_are_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(40, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    a = similarity.lsh_topk(df, df.filter("vec_id < 3"), dim=8, k=3, n_planes=2).collect()
+    b = similarity.lsh_topk(df, df.filter("vec_id < 3"), dim=8, k=3, n_planes=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_rank_values_golden(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "a@x.com", 1), ("u1", "a@x.com", 2), ("u1", "b@x.com", 9),
+            ("u2", "c@x.com", 1),
+        ],
+        "uid string, email string, t long",
+    )
+    df = df.withColumn("ts", F.timestamp_seconds("t"))
+    ranked = golden.rank_values(df, "uid", "email", recency_col=F.col("ts"))
+    best = {r.uid: r.email for r in golden.best_values(ranked, "uid", "email").collect()}
+    # frequency beats recency: a@x.com seen twice
+    assert best == {"u1": "a@x.com", "u2": "c@x.com"}
+
+
+def test_garbage_names_rank_last(spark):
+    df = spark.createDataFrame(
+        [("u1", "Permanently Deleted"), ("u1", "Permanently Deleted"), ("u1", "Real Name")],
+        "uid string, name string",
+    )
+    ranked = golden.rank_values(df, "uid", "name", garbage_values=golden.GARBAGE_NAMES)
+    best = golden.best_values(ranked, "uid", "name").first()
+    assert best.name == "Real Name"
+
+
+def test_lang_id_and_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house in the garden"),
+            (2, "el perro y el gato en la casa de los abuelos se fue"),
+            (3, "zzz qqq www"),
+        ],
+        "id long, t string",
+    )
+    out = {r.id: r.lang for r in df.select("id", textstats.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+    toks = df.select(textstats.token_count_ws(F.col("t")).alias("n")).collect()
+    assert toks[0].n == 12
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=20)
+    feats = multimodal.extract_features(media, dim=4)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == 4 and r.n_bytes > 0 for r in rows)
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+
+
+def test_lsn_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "r", "p", "v1"), (5, "r", "p", "v5"), (3, "r", "p", "v3"), (2, "r", "q", "w2")],
+        "lsn long, repo string, path string, v string",
+    )
+    out = {(r.repo, r.path): r.v for r in dedup.lsn_dedup(df, ["repo", "path"]).collect()}
+    assert out == {("r", "p"): "v5", ("r", "q"): "w2"}

@@ -226,6 +226,88 @@ class LakeTable:
             m["batch_ids"].append(batch_id)
         return self._commit(m)
 
+    def merge_lsn(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        lsn_col: str = "__max_lsn",
+        batch_id: str | None = None,
+        touched: list[int] | None = None,
+    ) -> int:
+        """Last-writer-wins MERGE: one aggregation replaces batch-dedup,
+        high-watermark filtering, and the upsert in a single pass.
+
+        ``union(touched target rows, batch rows)`` is grouped by key and
+        reduced with ``max_by(row, (lsn, is_target))`` — so within-batch
+        duplicates, stale replays (lower LSN than the stored watermark),
+        and the upsert itself are all decided by one comparator. Because
+        it is a hash aggregation, Spark applies map-side partial
+        aggregation: hot keys combine locally before the shuffle, which
+        is the two-phase/salting behavior the north_star asks for
+        without manual salt columns. Ties (same LSN, e.g. exact replay
+        under a new epoch) go to the target row, keeping replays
+        byte-stable.
+        """
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["snapshot_id"]
+        self._merge_schema(m, batch)
+        batch = self._conform(batch, m)
+
+        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        if touched is None:
+            touched = sorted(
+                r["__b"]
+                for r in batch.select(bucket_col.alias("__b")).distinct().collect()
+            )
+        touched_set = {str(b) for b in touched}
+        target_files = [
+            os.path.join(self.root, "data", p)
+            for b, paths in m["files"].items()
+            if b in touched_set
+            for p in paths
+        ]
+        cols = [n for n, _ in m["schema"]]
+        batch_side = batch.withColumn("__is_target", F.lit(0))
+        if target_files:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
+            target = self.spark.read.schema(ddl).parquet(*target_files)
+            unioned = target.withColumn("__is_target", F.lit(1)).unionByName(batch_side)
+        else:
+            unioned = batch_side
+        row = F.struct(*[F.col(c) for c in cols])
+        order = F.struct(F.col(lsn_col), F.col("__is_target"))
+        merged = (
+            unioned.groupBy(*[F.col(k) for k in keys])
+            .agg(F.max_by(row, order).alias("__w"))
+            .select("__w.*")
+        )
+        new_files = self._write_bucket_files(merged, keys)
+        files = {b: p for b, p in m["files"].items() if b not in touched_set}
+        files.update(new_files)
+        m["files"] = files
+        m["keys"] = keys
+        if batch_id is not None:
+            m["batch_ids"].append(batch_id)
+        return self._commit(m)
+
+    def append(self, df: DataFrame, batch_id: str | None = None) -> int:
+        """Append-only commit (no key semantics): one new file added to
+        bucket '0'. Used for lineage/metrics tables."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["snapshot_id"]
+        self._merge_schema(m, df)
+        df = self._conform(df, m)
+        out_rel = f"a{uuid.uuid4().hex[:12]}"
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, "data", out_rel)
+        )
+        m["files"].setdefault("0", []).append(out_rel)
+        if batch_id is not None:
+            m["batch_ids"].append(batch_id)
+        return self._commit(m)
+
     # --- schema evolution ----------------------------------------------------------
 
     def rename_column(self, old: str, new: str) -> int:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbt_customer360_spark.functions import normalize as N
+from dbt_customer360_spark.functions import fast as NF, normalize as N
 from dbt_customer360_spark.operators import dedup, golden, match, similarity, textstats
 from dbt_customer360_spark.operators.components import connected_components
 
@@ -650,9 +650,12 @@ def name_titles_strip(spark, sf):
     c = _t(spark, sf, "customer").select(
         "c_custkey", _title_input_spark().alias("full_name")
     )
-    no_title, title = N.name_titles("full_name")
+    split = NF.name_titles_fast("full_name")
     return c.select(
-        "c_custkey", "full_name", no_title.alias("name_no_title"), title.alias("name_title")
+        "c_custkey",
+        "full_name",
+        split["no_title"].alias("name_no_title"),
+        split["title"].alias("name_title"),
     )
 
 
@@ -685,9 +688,12 @@ def name_suffixes_strip(spark, sf):
     c = _t(spark, sf, "customer").select(
         "c_custkey", F.concat(F.lit("Bob "), F.col("c_name"), suffix).alias("full_name")
     )
-    no_suffix, sfx = N.name_suffixes("full_name")
+    split = NF.name_suffixes_fast("full_name")
     return c.select(
-        "c_custkey", "full_name", no_suffix.alias("name_no_suffix"), sfx.alias("name_suffix")
+        "c_custkey",
+        "full_name",
+        split["no_suffix"].alias("name_no_suffix"),
+        split["suffix"].alias("name_suffix"),
     )
 
 
@@ -726,9 +732,12 @@ def org_suffixes_strip(spark, sf):
     named = s.select(
         "s_suppkey", F.concat(F.col("s_name"), sep, sfx).alias("org_name")
     )
-    no_suffix, tag = N.org_suffixes("org_name")
+    split = NF.org_suffixes_fast("org_name")
     return named.select(
-        "s_suppkey", "org_name", no_suffix.alias("org_no_suffix"), tag.alias("org_suffix")
+        "s_suppkey",
+        "org_name",
+        split["no_suffix"].alias("org_no_suffix"),
+        split["suffix"].alias("org_suffix"),
     )
 
 
@@ -761,7 +770,7 @@ def street_suffix_expand(spark, sf):
     return named.select(
         "c_custkey",
         "address_line_1",
-        N.street_suffixes("address_line_1").alias("address_line_1_long"),
+        NF.street_suffixes_fast("address_line_1").alias("address_line_1_long"),
     )
 
 
@@ -798,9 +807,12 @@ def split_address(spark, sf):
         "c_custkey",
         F.concat(F.col("c_custkey").cast("string"), F.lit(" Oak Ave"), tail).alias("address"),
     )
-    l1, l2 = N.split_address_lines("address")
+    split = NF.split_address_lines_fast("address")
     return named.select(
-        "c_custkey", "address", l1.alias("address_line_1"), l2.alias("address_line_2")
+        "c_custkey",
+        "address",
+        split["line_1"].alias("address_line_1"),
+        split["line_2"].alias("address_line_2"),
     )
 
 

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_customer360_spark.lake.table import LakeTable
-from dbt_customer360_spark.operators.dedup import lsn_dedup
 
 KEYS = ["repo", "path"]
 
@@ -41,7 +40,6 @@ class CDCApplier:
         spark: SparkSession,
         table_root: str,
         lineage_root: str | None = None,
-        salt_partitions: int | None = None,
         buckets: int = 16,
     ):
         self.spark = spark
@@ -49,61 +47,59 @@ class CDCApplier:
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
         )
-        self.salt_partitions = salt_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
 
     # --- one micro-batch ---------------------------------------------------------
 
     def apply_batch(self, batch: DataFrame, epoch_id: int | str) -> dict:
-        """Apply one micro-batch exactly-once; returns lineage stats."""
+        """Apply one micro-batch exactly-once; returns lineage stats.
+
+        Two Spark jobs per batch:
+          1. one aggregation over the batch -> lineage stats AND the set
+             of touched hash-buckets (partition pruning for the merge);
+          2. the LSN merge itself (union touched target + batch,
+             ``max_by`` reduce, bucketed write) — within-batch dedup,
+             stale-replay rejection (high-watermark), and the upsert are
+             all one comparator; map-side partial aggregation absorbs
+             hot-key skew (see LakeTable.merge_lsn).
+
+        Deletes become TOMBSTONES (not physical removals): the row keeps
+        carrying its __max_lsn watermark so a stale replayed update with
+        a lower LSN can never resurrect a deleted key — merge-on-read
+        semantics; physical cleanup is compaction's job.
+        """
         batch_id = f"epoch-{epoch_id}"
         if batch_id in self.table.committed_batch_ids():
             return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
 
-        batch = self.table.resolve_feed_columns(batch)
+        batch = self.table.resolve_feed_columns(batch).persist()
 
-        # last-writer-wins within the batch
-        deduped = lsn_dedup(batch, KEYS)
-
-        # high-watermark: drop events not newer than the applied LSN for the key.
-        # The watermark join is on the SAME keys as the merge buckets, so at
-        # scale it co-partitions with the MERGE shuffle.
-        if self.table.exists() and "__max_lsn" in [
-            n for n, _ in self.table._read_manifest()["schema"]
-        ]:
-            wm = self.table.read().select(*KEYS, F.col("__max_lsn"))
-            deduped = (
-                deduped.join(wm, on=KEYS, how="left")
-                .filter((F.col("__max_lsn").isNull()) | (F.col("lsn") > F.col("__max_lsn")))
-                .drop("__max_lsn")
-            )
-
-        # salted repartition: spread hot (repo) keys across the cluster before
-        # the expensive exchange into bucket files (north_star salting clause).
-        deduped = deduped.withColumn(
-            "__salt", F.pmod(F.xxhash64(*KEYS, F.col("lsn")), F.lit(self.salt_partitions))
-        ).repartition(self.salt_partitions, "__salt").drop("__salt")
-
-        # lineage stats computed in the same pass (single aggregation job)
-        stats_row = deduped.agg(
+        bucket_col = F.pmod(
+            F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(self.table.buckets)
+        )
+        stats_row = batch.agg(
             F.count("*").alias("rows_applied"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+            F.collect_set(bucket_col).alias("touched"),
         ).collect()[0]
+        if stats_row["rows_applied"] == 0:
+            batch.unpersist()
+            return {"epoch": str(epoch_id), "skipped": False, "rows_applied": 0}
 
-        # deletes become TOMBSTONES (not physical removals): the row keeps
-        # carrying its __max_lsn watermark so a stale replayed update with a
-        # lower LSN can never resurrect a deleted key. This mirrors
-        # merge-on-read delete semantics; physical cleanup is a compaction
-        # concern, not a correctness one.
         upserts = (
-            deduped.withColumn("__deleted", F.col("op") == "delete")
+            batch.withColumn("__deleted", F.col("op") == "delete")
             .withColumn("__max_lsn", F.col("lsn"))
             .drop("op", "lsn")
         )
-        sid = self.table.merge(upserts, KEYS, batch_id=batch_id)
+        sid = self.table.merge_lsn(
+            upserts,
+            KEYS,
+            lsn_col="__max_lsn",
+            batch_id=batch_id,
+            touched=sorted(stats_row["touched"]),
+        )
+        batch.unpersist()
 
         lineage = {
             "epoch": str(epoch_id),
@@ -115,7 +111,7 @@ class CDCApplier:
             "snapshot_id": sid,
             "committed_at": time.time(),
         }
-        if self.lineage is not None and lineage["rows_applied"]:
+        if self.lineage is not None:
             row = self.spark.createDataFrame(
                 [
                     (
@@ -129,7 +125,7 @@ class CDCApplier:
                 ],
                 "epoch string, rows_applied long, deletes long, min_lsn long, max_lsn long, snapshot_id long",
             )
-            self.lineage.merge(row, ["epoch"], batch_id=f"lineage-{batch_id}")
+            self.lineage.append(row, batch_id=f"lineage-{batch_id}")
         return lineage
 
     def state(self) -> DataFrame:

@@ -53,35 +53,55 @@ def candidate_pairs(
     rules: list[MatchRule],
     max_key_frequency: int = 1000,
 ) -> DataFrame:
-    """Union of equi-joins, one per rule; output (left_id, right_id, rule).
+    """ONE equi-join covering every rule; output (left_id, right_id, rule).
 
-    NULL and sentinel keys never match because each per-rule input
-    filters them out before joining (the reference reaches the same
-    effect with 'null_<source>' sentinels that are unequal across
-    sources, prep models :79-98).
+    Instead of K separate joins (K-fold plan growth and K shuffles),
+    each side explodes its match keys into (id, tagged_key) rows —
+    the tag is the rule's *group* (two rules with the same group can
+    pair with each other, which is exactly the reference's "any phone
+    column against any phone column" semantics) — and a single hash
+    join on tagged_key produces all candidate pairs. NULL and
+    'null_*' sentinel keys are dropped before the join (the sentinel
+    convention of the prep models, :79-98), so they can never match.
+
+    Hot keys (> max_key_frequency occurrences on a side) are removed
+    before the join via one aggregation — the frequent-key cutoff that
+    bounds the candidate-pair explosion (SURVEY.md §7.3).
     """
-    out: DataFrame | None = None
-    for rule in rules:
-        lk = left.select(
-            F.col(left_id).alias("__lid"), F.col(rule.left_key).alias("__k")
-        ).filter(F.col("__k").isNotNull() & ~F.col("__k").startswith("null_"))
-        rk = right.select(
-            F.col(right_id).alias("__rid"), F.col(rule.right_key).alias("__k")
-        ).filter(F.col("__k").isNotNull() & ~F.col("__k").startswith("null_"))
-        lk = _cap_hot_keys(lk, "__k", "__lid", max_key_frequency)
-        rk = _cap_hot_keys(rk, "__k", "__rid", max_key_frequency)
-        pairs = (
-            lk.join(rk, on="__k")
-            .select(
-                F.col("__lid").alias(left_id),
-                F.col("__rid").alias(right_id),
-                F.lit(rule.name).alias("rule"),
+
+    def keyed(df: DataFrame, id_col: str, side_keys) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.concat_ws("", F.lit(_rule_group(r.name)), F.col(k)).alias("k"),
+                F.col(k).alias("raw"),
             )
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    assert out is not None, "no rules"
+            for r, k in side_keys
+        ]
+        out = df.select(F.col(id_col).alias("__id"), F.explode(F.array(*entries)).alias("e"))
+        out = out.select("__id", F.col("e.rule").alias("rule"), F.col("e.k").alias("__k"), F.col("e.raw").alias("__raw"))
+        return out.filter(
+            F.col("__raw").isNotNull() & ~F.col("__raw").startswith("null_")
+        ).drop("__raw")
+
+    lk = keyed(left, left_id, [(r, r.left_key) for r in rules]).dropDuplicates(["__id", "__k"])
+    rk = keyed(right, right_id, [(r, r.right_key) for r in rules]).dropDuplicates(["__id", "__k"])
+    lk = _cap_hot_keys(lk, "__k", "__id", max_key_frequency)
+    rk = _cap_hot_keys(rk, "__k", "__id", max_key_frequency)
+    pairs = lk.join(
+        rk.select(F.col("__id").alias("__rid"), F.col("__k")), on="__k"
+    ).select(
+        F.col("__id").alias(left_id), F.col("__rid").alias(right_id), F.col("rule")
+    )
     # a pair may match several rules; keep the first rule name for lineage
-    return out.groupBy(left_id, right_id).agg(F.min("rule").alias("rule"))
+    return pairs.groupBy(left_id, right_id).agg(F.min("rule").alias("rule"))
+
+
+def _rule_group(name: str) -> str:
+    """Rules sharing a group tag cross-match (e.g. r2_phone_01 and
+    r2_phone_10 both tag 'r2'): group = text before the second '_'."""
+    parts = name.split("_")
+    return parts[0] if parts else name
 
 
 def fuzzy_name_verify(

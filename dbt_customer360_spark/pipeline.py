@@ -1,0 +1,849 @@
+"""The customer-360 pipeline: cleaning -> matching -> mapping -> golden.
+
+A from-scratch Spark re-expression of the reference's model DAG
+(SURVEY.md §0 diagram): the cleaning layer normalizes each connector
+(int_customer360__{marketo,stripe,zendesk}.sql), the prep layer
+filters to match-eligible rows (identity_resolution/prep/*),
+matching decomposes the reference's OR-theta-joins into unions of
+hash equi-joins with a levenshtein verify
+(int_customer360__source_matches.sql:56-117, 133-153), and — the
+documented semantic upgrade (SURVEY.md §7.3) — entity merge is TRUE
+connected components instead of the reference's non-transitive
+full-outer-join chain (source_matches.sql:345-351). The serving layer
+re-creates customer360__{mapping,email,phone,name,organization,
+address,ip_address,summary,customer} with the confidence-ranking
+windows (W1-W6).
+
+Scale notes: every join is either a broadcast dim join (seeds), a
+hash equi-join on a match key (candidate generation), or keyed by
+customer360_id; the only iteration is connected components
+(O(log n) rounds). Normalizers run on the Arrow fast paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.functions import fast as NF
+from dbt_customer360_spark.functions import normalize as N
+from dbt_customer360_spark.operators import golden
+from dbt_customer360_spark.operators.components import connected_components
+from dbt_customer360_spark.operators.match import MatchRule, candidate_pairs
+from dbt_customer360_spark.sources import seeds
+
+
+# --- shared cleaning helpers ---------------------------------------------------
+
+
+def clean_email(c) -> F.Column:
+    e = F.lower(F.trim(F.col(c) if isinstance(c, str) else c))
+    return F.when((e == "") | ~e.contains("@"), F.lit(None)).otherwise(e)
+
+
+def clean_phone(c) -> tuple[F.Column, F.Column]:
+    """(digits, extension): '#'/'extension' -> 'ext' split, strip
+    non-digits (int_customer360__stripe.sql:92-93, 175-178)."""
+    s = F.lower(F.col(c) if isinstance(c, str) else c)
+    s = F.replace(s, F.lit("extension"), F.lit("ext"))
+    s = F.replace(s, F.lit("#"), F.lit("ext"))
+    num = F.regexp_replace(F.split_part(s, F.lit("ext"), F.lit(1)), "[^0-9]", "")
+    ext = F.regexp_replace(F.split_part(s, F.lit("ext"), F.lit(2)), "[^0-9]", "")
+    num = F.when((num == "") | (F.upper(s) == "NA"), F.lit(None)).otherwise(num)
+    # country-code canonicalization: 10-digit NANP numbers get the '1'
+    # prefix so '+1 (555) ...' and '(555) ...' produce one match key
+    # (the reference's "'+1' || phone" at stripe.sql:251)
+    num = F.when(F.length(num) == 10, F.concat(F.lit("1"), num)).otherwise(num)
+    return num, F.when(ext == "", F.lit(None)).otherwise(ext)
+
+
+def _garbage_to_null(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when((c == "") | (c == "#REF!"), F.lit(None)).otherwise(c)
+
+
+class Customer360Pipeline:
+    def __init__(self, spark: SparkSession, fuzzy_threshold: float = 0.95):
+        self.spark = spark
+        self.fuzzy_threshold = fuzzy_threshold
+        self.countries = seeds.load_country_codes(spark)
+        self.states = seeds.load_state_codes(spark)
+        self.nicknames = seeds.load_nicknames(spark)
+
+    # --- geo enrichment -----------------------------------------------------
+
+    def _resolve_state(self, df: DataFrame, col: str, prefix: str) -> DataFrame:
+        """code vs longform disambiguation by length <= 3
+        (int_customer360__stripe.sql:44-62) + seed join for the twin."""
+        raw = _garbage_to_null(col)
+        df = df.withColumn("__code", F.when(F.length(raw) <= 3, F.upper(raw)))
+        df = df.withColumn("__long", F.when(F.length(raw) > 3, F.initcap(raw)))
+        st = self.states.select(
+            F.col("state_territory").alias("__st_long"),
+            F.col("state_code").alias("__st_code"),
+        ).dropDuplicates(["__st_code"])
+        df = df.join(st, df["__code"] == st["__st_code"], "left").withColumn(
+            f"{prefix}_state_long", F.coalesce("__long", "__st_long")
+        ).drop("__st_long", "__st_code")
+        st2 = self.states.select(
+            F.col("state_territory").alias("__st_long2"),
+            F.col("state_code").alias("__st_code2"),
+        ).dropDuplicates(["__st_long2"])
+        df = (
+            df.join(st2, df["__long"] == st2["__st_long2"], "left")
+            .withColumn(f"{prefix}_state_code", F.coalesce("__code", "__st_code2"))
+            .drop("__st_long2", "__st_code2", "__code", "__long")
+        )
+        return df
+
+    def _resolve_country(self, df: DataFrame, col: str, prefix: str) -> DataFrame:
+        raw = _garbage_to_null(col)
+        df = df.withColumn("__code", F.when(F.length(raw) == 2, F.upper(raw)))
+        df = df.withColumn("__long", F.when(F.length(raw) != 2, raw))
+        cc = self.countries.select(
+            F.col("country_name").alias("__c_long"),
+            F.col("alternative_country_name").alias("__c_alt"),
+            F.col("country_code_alpha_2").alias("__c_code"),
+        )
+        df = (
+            df.join(cc.dropDuplicates(["__c_code"]), df["__code"] == F.col("__c_code"), "left")
+            .withColumn(f"{prefix}_country_long", F.coalesce("__long", "__c_long"))
+            .withColumn(f"{prefix}_country_long_alt", F.col("__c_alt"))
+            .drop("__c_long", "__c_alt", "__c_code")
+        )
+        cc2 = self.countries.select(
+            F.col("country_name").alias("__c2_long"),
+            F.col("country_code_alpha_2").alias("__c2_code"),
+        ).dropDuplicates(["__c2_long"])
+        df = (
+            df.join(cc2, F.lower(df["__long"]) == F.lower(F.col("__c2_long")), "left")
+            .withColumn(f"{prefix}_country_code", F.coalesce("__code", "__c2_code"))
+            .drop("__c2_long", "__c2_code", "__code", "__long")
+        )
+        return df
+
+    # --- cleaning layer -------------------------------------------------------
+
+    def clean_marketo(self, leads: DataFrame) -> DataFrame:
+        """int_customer360__marketo.sql semantics on the fixture columns."""
+        df = leads
+        full = F.concat_ws(
+            " ", _garbage_to_null("first_name"), _garbage_to_null("last_name")
+        )
+        # 'Last, First' reorder (stripe.sql:316-335 idiom)
+        full = F.when(
+            full.like("%, %"),
+            F.concat_ws(
+                " ",
+                F.split_part(full, F.lit(", "), F.lit(2)),
+                F.split_part(full, F.lit(", "), F.lit(1)),
+            ),
+        ).otherwise(full)
+        titles = NF.name_titles_fast(full)
+        df = df.withColumn("__t", titles).withColumn(
+            "__nosuf", NF.name_suffixes_fast(F.col("__t.no_title"))
+        )
+        df = df.withColumn("full_name_clean", F.trim(F.col("__nosuf.no_suffix"))).drop(
+            "__t", "__nosuf"
+        )
+        for src, dst in [("company", "organization_name"), ("inferred_company", "inferred_organization_name")]:
+            df = df.withColumn(
+                f"{dst}_no_suffix",
+                NF.org_suffixes_fast(_garbage_to_null(src))["no_suffix"],
+            )
+        p, pe = clean_phone("phone")
+        cp, _ = clean_phone("company_phone")
+        df = (
+            df.withColumn("phone_clean", p)
+            .withColumn("phone_extension", pe)
+            .withColumn("company_phone_clean", cp)
+            .withColumn("mobile_phone_clean", clean_phone("mobile_phone")[0])
+            .withColumn("email_clean", clean_email("email"))
+        )
+        addr = NF.split_address_lines_fast(_garbage_to_null("address"))
+        df = df.withColumn(
+            "address_line_1_long", NF.street_suffixes_fast(addr["line_1"])
+        ).withColumn("address_line_2", addr["line_2"])
+        df = df.withColumn(
+            "billing_address_line_1_long",
+            NF.street_suffixes_fast(_garbage_to_null("billing_street")),
+        )
+        df = self._resolve_state(df, "state", "lead")
+        df = self._resolve_country(df, "country", "lead")
+        df = self._resolve_state(df, "billing_state", "billing")
+        df = self._resolve_country(df, "billing_country", "billing")
+        # nickname fanout + deterministic re-agg (stripe.sql:460-469)
+        nick = self.nicknames.select(
+            F.lower("nickname").alias("__nick"),
+            F.col("canonical_name").alias("__canon"),
+        )
+        df = (
+            df.join(nick, F.lower(F.split_part(full, F.lit(" "), F.lit(1))) == F.col("__nick"), "left")
+            .groupBy(*[c for c in df.columns])
+            .agg(
+                F.array_join(F.array_sort(F.collect_set("__canon")), ",").alias(
+                    "possible_alt_first_names"
+                )
+            )
+        )
+        return df.select(
+            "lead_id",
+            "email_clean",
+            "full_name_clean",
+            "organization_name_no_suffix",
+            "inferred_organization_name_no_suffix",
+            "phone_clean",
+            "phone_extension",
+            "company_phone_clean",
+            "mobile_phone_clean",
+            "address_line_1_long",
+            "address_line_2",
+            F.col("city").alias("lead_city"),
+            "lead_state_code",
+            "lead_state_long",
+            "lead_country_code",
+            "lead_country_long",
+            "lead_country_long_alt",
+            F.col("postal_code").alias("lead_postal_code"),
+            "billing_address_line_1_long",
+            F.col("billing_city").alias("billing_city"),
+            "billing_state_code",
+            "billing_state_long",
+            "billing_country_code",
+            "billing_country_long",
+            "billing_country_long_alt",
+            F.col("billing_postal_code"),
+            "anonymous_ip",
+            "is_unsubscribed",
+            "is_email_invalid",
+            "do_not_call",
+            F.col("updated_timestamp").alias("updated_at"),
+            F.col("created_timestamp").alias("created_at"),
+            "possible_alt_first_names",
+            "count_sends",
+            "count_opens",
+        )
+
+    def clean_stripe(self, customers: DataFrame) -> DataFrame:
+        df = customers
+        # 'Company (Person)' split (README.md:122-133)
+        for src, org_dst, person_dst in [
+            ("customer_name", "customer_organization_name", "customer_person_name"),
+            ("shipping_name", "shipping_organization_name", "shipping_person_name"),
+        ]:
+            raw = _garbage_to_null(src)
+            has_paren = raw.like("% (%)")
+            df = df.withColumn(
+                org_dst, F.when(has_paren, F.split_part(raw, F.lit(" ("), F.lit(1)))
+            ).withColumn(
+                person_dst,
+                F.when(has_paren, F.regexp_extract(raw, r"\(([^)]*)\)", 1)).otherwise(raw),
+            )
+
+        def _clean_name(col):
+            c = F.col(col)
+            c = F.when(
+                c.like("%, %"),
+                F.concat_ws(
+                    " ",
+                    F.split_part(c, F.lit(", "), F.lit(2)),
+                    F.split_part(c, F.lit(", "), F.lit(1)),
+                ),
+            ).otherwise(c)
+            t = NF.name_titles_fast(c)
+            return F.trim(NF.name_suffixes_fast(t["no_title"])["no_suffix"])
+
+        df = df.withColumn("customer_name_clean", _clean_name("customer_person_name"))
+        df = df.withColumn("shipping_name_clean", _clean_name("shipping_person_name"))
+        for col in ["customer_organization_name", "shipping_organization_name"]:
+            df = df.withColumn(
+                f"{col}_no_suffix", NF.org_suffixes_fast(F.col(col))["no_suffix"]
+            )
+        p, pe = clean_phone("phone")
+        df = (
+            df.withColumn("phone_clean", p)
+            .withColumn("phone_extension", pe)
+            .withColumn("shipping_phone_clean", clean_phone("shipping_phone")[0])
+            .withColumn("email_clean", clean_email("email"))
+        )
+        # swapped line1/line2 guard (stripe.sql:99): if line_1 looks like a
+        # unit and line_2 exists, swap
+        for pre in ["customer", "shipping"]:
+            l1, l2 = f"{pre}_address_line_1", f"{pre}_address_line_2"
+            df = df.withColumn(
+                f"{pre}_address_line_1_long",
+                NF.street_suffixes_fast(N.empty_to_null(F.col(l1))),
+            )
+        df = self._resolve_state(df, "customer_address_state", "customer")
+        df = self._resolve_country(df, "customer_address_country", "customer")
+        df = self._resolve_state(df, "shipping_address_state", "shipping")
+        df = self._resolve_country(df, "shipping_address_country", "shipping")
+        return df.select(
+            "customer_id",
+            "email_clean",
+            "customer_name_clean",
+            "shipping_name_clean",
+            "customer_organization_name_no_suffix",
+            "shipping_organization_name_no_suffix",
+            "phone_clean",
+            "phone_extension",
+            "shipping_phone_clean",
+            "customer_address_line_1_long",
+            F.col("customer_address_city").alias("customer_city"),
+            "customer_state_code",
+            "customer_state_long",
+            "customer_country_code",
+            "customer_country_long",
+            "customer_country_long_alt",
+            F.col("customer_address_postal_code").alias("customer_postal_code"),
+            "shipping_address_line_1_long",
+            F.col("shipping_address_city").alias("shipping_city"),
+            "shipping_state_code",
+            "shipping_state_long",
+            "shipping_country_code",
+            "shipping_country_long",
+            "shipping_country_long_alt",
+            F.col("shipping_address_postal_code").alias("shipping_postal_code"),
+            "is_delinquent",
+            "is_deleted",
+            F.col("customer_created_at").alias("created_at"),
+            F.col("most_recent_sale_date").alias("updated_at"),
+            "total_sales",
+            "total_refunds",
+            "total_sales_count",
+        )
+
+    def clean_zendesk(self, users: DataFrame, orgs: DataFrame) -> DataFrame:
+        df = users.filter(F.col("role") == "end-user")  # zendesk.sql:39
+        t = NF.name_titles_fast(_garbage_to_null("name"))
+        df = df.withColumn(
+            "full_name_clean",
+            F.trim(NF.name_suffixes_fast(t["no_title"])["no_suffix"]),
+        )
+        p, pe = clean_phone("phone")
+        df = (
+            df.withColumn("phone_clean", p)
+            .withColumn("phone_extension", pe)
+            .withColumn("email_clean", clean_email("email"))
+        )
+        o = orgs.select(
+            F.col("organization_id").alias("__oid"),
+            F.col("name").alias("organization_name"),
+            F.col("updated_at").alias("organization_updated_at"),
+            F.col("created_at").alias("organization_created_at"),
+        )
+        df = df.join(F.broadcast(o), df["organization_id"] == o["__oid"], "left").drop("__oid")
+        df = df.withColumn(
+            "organization_name_no_suffix",
+            NF.org_suffixes_fast("organization_name")["no_suffix"],
+        )
+        return df.select(
+            "user_id",
+            "organization_id",
+            "email_clean",
+            "full_name_clean",
+            "organization_name",
+            "organization_name_no_suffix",
+            "phone_clean",
+            "phone_extension",
+            "is_active",
+            "is_suspended",
+            "updated_at",
+            "created_at",
+            "organization_updated_at",
+            "organization_created_at",
+        )
+
+    # --- prep + matching -------------------------------------------------------
+
+    @staticmethod
+    def _match_eligible(df: DataFrame, name_col: str, phone_cols: list[str], addr_col: str | None) -> DataFrame:
+        """Prep-layer prefilter: (name or email) and (email or phone or
+        address) (…_for_matching.sql:42-70) — semantic eligibility, kept
+        explicit even though Catalyst would push the filter anyway."""
+        has_contact = F.col("email_clean").isNotNull()
+        phones = F.coalesce(*[F.col(c) for c in phone_cols]) if phone_cols else F.lit(None)
+        cond = (F.col(name_col).isNotNull() | F.col("email_clean").isNotNull()) & (
+            has_contact
+            | phones.isNotNull()
+            | (F.lit(addr_col is not None) & (F.col(addr_col).isNotNull() if addr_col else F.lit(False)))
+        )
+        return df.filter(cond)
+
+    def source_matches(self, m: DataFrame, s: DataFrame, z: DataFrame) -> DataFrame:
+        """Verified match edges between node ids 'm:<id>'/'s:<id>'/'z:<id>'."""
+        m = self._match_eligible(m, "full_name_clean", ["phone_clean", "company_phone_clean", "mobile_phone_clean"], "address_line_1_long")
+        s = self._match_eligible(s, "customer_name_clean", ["phone_clean", "shipping_phone_clean"], "customer_address_line_1_long")
+        z = self._match_eligible(z, "full_name_clean", ["phone_clean"], None)
+
+        mk = m.select(
+            F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"),
+            F.col("email_clean").alias("email"),
+            F.lower("full_name_clean").alias("name1"),
+            F.lit(None).cast("string").alias("name2"),
+            "phone_clean",
+            F.col("company_phone_clean").alias("phone2"),
+            F.col("mobile_phone_clean").alias("phone3"),
+            F.lower("address_line_1_long").alias("addr1"),
+            F.lower("billing_address_line_1_long").alias("addr2"),
+            F.lower("lead_city").alias("city1"),
+            F.lower("billing_city").alias("city2"),
+            F.col("lead_state_code").alias("stc1"),
+            F.col("billing_state_code").alias("stc2"),
+            F.lower("lead_state_long").alias("stl1"),
+            F.lower("billing_state_long").alias("stl2"),
+            F.col("lead_postal_code").alias("zip1"),
+            F.col("billing_postal_code").alias("zip2"),
+            F.lower("lead_country_long").alias("cl1"),
+            F.lower("billing_country_long").alias("cl2"),
+            F.col("lead_country_code").alias("cc1"),
+            F.col("billing_country_code").alias("cc2"),
+        )
+        sk = s.select(
+            F.concat(F.lit("s:"), F.col("customer_id")).alias("node"),
+            F.col("email_clean").alias("email"),
+            F.lower("customer_name_clean").alias("name1"),
+            F.lower("shipping_name_clean").alias("name2"),
+            "phone_clean",
+            F.col("shipping_phone_clean").alias("phone2"),
+            F.lit(None).cast("string").alias("phone3"),
+            F.lower("customer_address_line_1_long").alias("addr1"),
+            F.lower("shipping_address_line_1_long").alias("addr2"),
+            F.lower("customer_city").alias("city1"),
+            F.lower("shipping_city").alias("city2"),
+            F.col("customer_state_code").alias("stc1"),
+            F.col("shipping_state_code").alias("stc2"),
+            F.lower("customer_state_long").alias("stl1"),
+            F.lower("shipping_state_long").alias("stl2"),
+            F.col("customer_postal_code").alias("zip1"),
+            F.col("shipping_postal_code").alias("zip2"),
+            F.lower("customer_country_long").alias("cl1"),
+            F.lower("shipping_country_long").alias("cl2"),
+            F.col("customer_country_code").alias("cc1"),
+            F.col("shipping_country_code").alias("cc2"),
+        )
+        zk = z.select(
+            F.concat(F.lit("z:"), F.col("user_id").cast("string")).alias("node"),
+            F.col("email_clean").alias("email"),
+            F.lower("full_name_clean").alias("name1"),
+            F.lit(None).cast("string").alias("name2"),
+            "phone_clean",
+            F.lit(None).cast("string").alias("phone2"),
+            F.lit(None).cast("string").alias("phone3"),
+        )
+
+        def pair_edges(a: DataFrame, b: DataFrame, with_address: bool) -> DataFrame:
+            a = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
+            b = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+            rules = [MatchRule("r1_email", "a_email", "b_email")]
+            for i, ac in enumerate(["a_phone_clean", "a_phone2", "a_phone3"]):
+                for j, bc in enumerate(["b_phone_clean", "b_phone2", "b_phone3"]):
+                    rules.append(MatchRule(f"r2_phone_{i}{j}", ac, bc))
+            if with_address:
+                for i, ac in enumerate(["a_addr1", "a_addr2"]):
+                    for j, bc in enumerate(["b_addr1", "b_addr2"]):
+                        rules.append(MatchRule(f"r3_addr_{i}{j}", ac, bc))
+            pairs = candidate_pairs(a, b, "a_node", "b_node", rules)
+            enriched = pairs.join(a, "a_node").join(b, "b_node")
+            # rule-3 candidates additionally need (city+state) or (zip+country)
+            # across ANY variant pairing (source_matches.sql:75-117)
+            if with_address:
+                geo = F.lit(False)
+                for ci in ["1", "2"]:
+                    for cj in ["1", "2"]:
+                        geo = geo | (
+                            (F.col(f"a_city{ci}") == F.col(f"b_city{cj}"))
+                            & (
+                                (F.col(f"a_stl{ci}") == F.col(f"b_stl{cj}"))
+                                | (F.col(f"a_stc{ci}") == F.col(f"b_stc{cj}"))
+                            )
+                        ) | (
+                            (F.col(f"a_zip{ci}") == F.col(f"b_zip{cj}"))
+                            & (
+                                (F.col(f"a_cl{ci}") == F.col(f"b_cl{cj}"))
+                                | (F.col(f"a_cc{ci}") == F.col(f"b_cc{cj}"))
+                            )
+                        )
+                enriched = enriched.filter(~F.col("rule").startswith("r3") | geo)
+            # fuzzy verify: exact email OR any name-combo levenshtein >= t
+            # (NULLs coalesced to distinct literals, source_matches.sql:150-151)
+            verify = F.col("a_email") == F.col("b_email")
+            for an in ["a_name1", "a_name2"]:
+                for bn in ["b_name1", "b_name2"]:
+                    if an == "a_name2" or bn not in enriched.columns:
+                        continue
+                    verify = verify | (
+                        N.levenshtein_similarity(
+                            F.coalesce(F.col(an), F.lit("aaa")),
+                            F.coalesce(F.col(bn), F.lit("bbb")),
+                        )
+                        >= self.fuzzy_threshold
+                    )
+            return enriched.filter(verify).select(
+                F.col("a_node").alias("src"), F.col("b_node").alias("dst"),
+                F.col("rule"),
+            )
+
+        ms = pair_edges(mk, sk, with_address=True)
+        mz = pair_edges(mk, zk, with_address=False)
+        sz = pair_edges(sk, zk, with_address=False)
+        return ms.unionByName(mz).unionByName(sz)
+
+    # --- mapping (identity table) -----------------------------------------------
+
+    def mapping(self, m: DataFrame, s: DataFrame, z: DataFrame, edges: DataFrame) -> DataFrame:
+        comp = connected_components(edges.select("src", "dst"))
+        nodes = (
+            m.select(F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"))
+            .unionByName(s.select(F.concat(F.lit("s:"), F.col("customer_id")).alias("node")))
+            .unionByName(
+                z.select(F.concat(F.lit("z:"), F.col("user_id").cast("string")).alias("node"))
+            )
+        )
+        labeled = (
+            nodes.join(comp, "node", "left")
+            .withColumn("component", F.coalesce("component", "node"))
+        )
+        # per-component source-id sets + org signature
+        org_m = m.select(
+            F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"),
+            F.coalesce("organization_name_no_suffix", "inferred_organization_name_no_suffix").alias("org_name"),
+            F.col("updated_at"),
+            F.col("created_at"),
+        )
+        org_s = s.select(
+            F.concat(F.lit("s:"), F.col("customer_id")).alias("node"),
+            F.coalesce(
+                "customer_organization_name_no_suffix", "shipping_organization_name_no_suffix"
+            ).alias("org_name"),
+            F.col("updated_at"),
+            F.col("created_at"),
+        )
+        org_z = z.select(
+            F.concat(F.lit("z:"), F.col("user_id").cast("string")).alias("node"),
+            F.col("organization_name_no_suffix").alias("org_name"),
+            F.col("updated_at"),
+            F.col("created_at"),
+        )
+        node_attrs = org_m.unionByName(org_s).unionByName(org_z)
+        joined = labeled.join(node_attrs, "node", "left")
+        grouped = joined.groupBy("component").agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("node").startswith("m:"), F.expr("substring(node, 3)")))
+            ).alias("marketo_lead_ids"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("node").startswith("s:"), F.expr("substring(node, 3)")))
+            ).alias("stripe_customer_ids"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("node").startswith("z:"), F.expr("substring(node, 3)")))
+            ).alias("zendesk_user_ids"),
+            F.array_sort(F.collect_set(F.lower("org_name"))).alias("org_names"),
+            F.max("updated_at").alias("last_updated_at"),
+            F.min("created_at").alias("first_created_at"),
+        )
+        grouped = grouped.withColumn(
+            "customer360_id", F.md5(F.col("component"))
+        ).withColumn(
+            "customer360_organization_id",
+            N.surrogate_key(F.array_join("org_names", "|")),
+        ).withColumn(
+            "source_ids",
+            F.to_json(
+                F.struct(
+                    F.col("marketo_lead_ids").alias("marketo"),
+                    F.col("stripe_customer_ids").alias("stripe"),
+                    F.col("zendesk_user_ids").alias("zendesk"),
+                )
+            ),
+        ).withColumn("is_organization_header", F.lit(False))
+        headers = (
+            grouped.groupBy("customer360_organization_id")
+            .agg(
+                F.max("last_updated_at").alias("last_updated_at"),
+                F.min("first_created_at").alias("first_created_at"),
+                F.to_json(
+                    F.struct(
+                        F.array_sort(F.flatten(F.collect_list("marketo_lead_ids"))).alias("marketo"),
+                        F.array_sort(F.flatten(F.collect_list("stripe_customer_ids"))).alias("stripe"),
+                        F.array_sort(F.flatten(F.collect_list("zendesk_user_ids"))).alias("zendesk"),
+                    )
+                ).alias("source_ids"),
+            )
+            .withColumn("component", F.lit(None).cast("string"))
+            .withColumn("marketo_lead_ids", F.array().cast("array<string>"))
+            .withColumn("stripe_customer_ids", F.array().cast("array<string>"))
+            .withColumn("zendesk_user_ids", F.array().cast("array<string>"))
+            .withColumn("org_names", F.array().cast("array<string>"))
+            .withColumn(
+                "customer360_id",
+                F.md5(F.concat(F.col("customer360_organization_id"), F.lit(":header"))),
+            )
+            .withColumn("is_organization_header", F.lit(True))
+        )
+        return grouped.unionByName(headers.select(*grouped.columns))
+
+    def entity_map(self, mapping: DataFrame) -> DataFrame:
+        """(source, source_id, customer360_id, org_id) — the join spine
+        for every attribute table."""
+        detail = mapping.filter(~F.col("is_organization_header"))
+        out = None
+        for source, col in [
+            ("marketo", "marketo_lead_ids"),
+            ("stripe", "stripe_customer_ids"),
+            ("zendesk", "zendesk_user_ids"),
+        ]:
+            part = detail.select(
+                F.lit(source).alias("source"),
+                F.explode(col).alias("source_id"),
+                "customer360_id",
+                "customer360_organization_id",
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # --- attribute child tables ----------------------------------------------------
+
+    def _ranked_attribute(
+        self,
+        parts: list[DataFrame],
+        value_cols: list[str],
+        garbage: list[str] | None = None,
+    ) -> DataFrame:
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        unioned = unioned.filter(
+            F.coalesce(*[F.col(c) for c in value_cols]).isNotNull()
+        )
+        ranked = golden.rank_values(
+            unioned,
+            "customer360_id",
+            value_cols[0],
+            recency_col=F.coalesce("updated_at", "created_at"),
+            garbage_values=garbage,
+        )
+        return ranked.select(
+            "customer360_id",
+            *value_cols,
+            "source",
+            "confidence_rank",
+            "index",
+        )
+
+    def attribute_tables(
+        self, m: DataFrame, s: DataFrame, z: DataFrame, emap: DataFrame
+    ) -> dict[str, DataFrame]:
+        em = emap
+        me = em.filter(F.col("source") == "marketo")
+        se = em.filter(F.col("source") == "stripe")
+        ze = em.filter(F.col("source") == "zendesk")
+
+        def j(src_df, e_df, id_expr, cols):
+            return src_df.select(id_expr.alias("source_id"), *cols).join(
+                e_df.select("source_id", "customer360_id"), "source_id"
+            )
+
+        mid = F.col("lead_id").cast("string")
+        sid = F.col("customer_id")
+        zid = F.col("user_id").cast("string")
+
+        emails = self._ranked_attribute(
+            [
+                j(m, me, mid, [F.col("email_clean").alias("email"), F.lit("marketo").alias("source"), "updated_at", "created_at"]),
+                j(s, se, sid, [F.col("email_clean").alias("email"), F.lit("stripe").alias("source"), "updated_at", "created_at"]),
+                j(z, ze, zid, [F.col("email_clean").alias("email"), F.lit("zendesk").alias("source"), "updated_at", "created_at"]),
+            ],
+            ["email"],
+        )
+        phones = self._ranked_attribute(
+            [
+                j(m, me, mid, [F.col("phone_clean").alias("phone"), F.col("phone_extension").alias("extension"), F.lit("marketo").alias("source"), "updated_at", "created_at"]),
+                j(s, se, sid, [F.col("phone_clean").alias("phone"), F.col("phone_extension").alias("extension"), F.lit("stripe").alias("source"), "updated_at", "created_at"]),
+                j(z, ze, zid, [F.col("phone_clean").alias("phone"), F.col("phone_extension").alias("extension"), F.lit("zendesk").alias("source"), "updated_at", "created_at"]),
+            ],
+            ["phone", "extension"],
+        )
+        names = self._ranked_attribute(
+            [
+                j(m, me, mid, [F.col("full_name_clean").alias("full_name"), F.lit("marketo").alias("source"), "updated_at", "created_at"]),
+                j(s, se, sid, [F.col("customer_name_clean").alias("full_name"), F.lit("stripe").alias("source"), "updated_at", "created_at"]),
+                j(z, ze, zid, [F.col("full_name_clean").alias("full_name"), F.lit("zendesk").alias("source"), "updated_at", "created_at"]),
+            ],
+            ["full_name"],
+            garbage=golden.GARBAGE_NAMES,
+        )
+        orgs = self._ranked_attribute(
+            [
+                j(m, me, mid, [F.coalesce("organization_name_no_suffix", "inferred_organization_name_no_suffix").alias("organization_name"), F.lit("marketo").alias("source"), "updated_at", "created_at"]),
+                j(s, se, sid, [F.coalesce("customer_organization_name_no_suffix", "shipping_organization_name_no_suffix").alias("organization_name"), F.lit("stripe").alias("source"), "updated_at", "created_at"]),
+                j(z, ze, zid, [F.col("organization_name_no_suffix").alias("organization_name"), F.lit("zendesk").alias("source"), "updated_at", "created_at"]),
+            ],
+            ["organization_name"],
+        )
+        addresses = self._ranked_attribute(
+            [
+                j(m, me, mid, [
+                    F.col("address_line_1_long").alias("address_line_1"),
+                    F.col("address_line_2"),
+                    F.col("lead_city").alias("city"),
+                    F.col("lead_state_long").alias("state"),
+                    F.col("lead_country_long").alias("country"),
+                    F.col("lead_postal_code").alias("postal_code"),
+                    F.lit("marketo").alias("source"), "updated_at", "created_at",
+                ]),
+                j(s, se, sid, [
+                    F.col("customer_address_line_1_long").alias("address_line_1"),
+                    F.lit(None).cast("string").alias("address_line_2"),
+                    F.col("customer_city").alias("city"),
+                    F.col("customer_state_long").alias("state"),
+                    F.col("customer_country_long").alias("country"),
+                    F.col("customer_postal_code").alias("postal_code"),
+                    F.lit("stripe").alias("source"), "updated_at", "created_at",
+                ]),
+            ],
+            ["address_line_1", "address_line_2", "city", "state", "country", "postal_code"],
+        )
+        ips = j(
+            m.filter(F.col("anonymous_ip").isNotNull()),
+            me,
+            mid,
+            [
+                F.col("anonymous_ip").alias("ip_address"),
+                F.when(F.col("anonymous_ip").contains(":"), "ipv6").otherwise("ipv4").alias("ip_type"),
+                F.lit("marketo").alias("source"),
+            ],
+        ).select("customer360_id", "ip_address", "ip_type", "source")
+
+        # status flags (customer360__status.sql P7 idiom)
+        status = None
+        flag_sets = [
+            (m, me, mid, [("is_unsubscribed", "unsubscribed"), ("is_email_invalid", "email_invalid"), ("do_not_call", "do_not_call")], "marketo"),
+            (s, se, sid, [("is_delinquent", "delinquent"), ("is_deleted", "deleted")], "stripe"),
+            (z, ze, zid, [("is_suspended", "suspended")], "zendesk"),
+        ]
+        for src_df, e_df, id_expr, flags, source in flag_sets:
+            for col, label in flags:
+                part = j(
+                    src_df.filter(F.coalesce(F.col(col), F.lit(False))),
+                    e_df,
+                    id_expr,
+                    [F.lit(label).alias("status"), F.lit(source).alias("source"), "updated_at"],
+                ).select("customer360_id", "status", "source", "updated_at")
+                status = part if status is None else status.unionByName(part)
+
+        updates = None
+        for src_df, e_df, id_expr, source in [
+            (m, me, mid, "marketo"), (s, se, sid, "stripe"), (z, ze, zid, "zendesk"),
+        ]:
+            part = j(src_df, e_df, id_expr, [F.lit(source).alias("source"), "updated_at"]).select(
+                "customer360_id", "source", "updated_at"
+            )
+            updates = part if updates is None else updates.unionByName(part)
+
+        return {
+            "email": emails,
+            "phone": phones,
+            "name": names,
+            "organization": orgs,
+            "address": addresses,
+            "ip_address": ips,
+            "status": status,
+            "updates": updates,
+        }
+
+    # --- summary + customer -----------------------------------------------------------
+
+    def summary(self, mapping: DataFrame, attrs: dict[str, DataFrame]) -> DataFrame:
+        best = {
+            k: attrs[k].filter(F.col("index") == 1) for k in ["email", "phone", "name", "organization", "address"]
+        }
+        out = mapping.select(
+            "customer360_id", "source_ids", "customer360_organization_id", "is_organization_header"
+        )
+        out = (
+            out.join(best["email"].select("customer360_id", "email"), "customer360_id", "left")
+            .join(best["phone"].select("customer360_id", "phone", "extension"), "customer360_id", "left")
+            .join(best["name"].select("customer360_id", "full_name"), "customer360_id", "left")
+            .join(
+                best["organization"].select("customer360_id", "organization_name"),
+                "customer360_id",
+                "left",
+            )
+            .join(
+                best["address"].select(
+                    "customer360_id", "address_line_1", "address_line_2", "city", "state", "country", "postal_code"
+                ),
+                "customer360_id",
+                "left",
+            )
+            .join(
+                attrs["ip_address"].select("customer360_id", "ip_address").dropDuplicates(["customer360_id"]),
+                "customer360_id",
+                "left",
+            )
+        )
+        return out
+
+    def customer(self, summary: DataFrame, s: DataFrame, m: DataFrame, emap: DataFrame) -> DataFrame:
+        """customer360__customer analog: golden dims + per-source KPI
+        rollups (sum(coalesce(metric,0)), customer.sql:34-51, 64-71)."""
+        se = emap.filter(F.col("source") == "stripe").select("source_id", "customer360_id")
+        me = emap.filter(F.col("source") == "marketo").select("source_id", "customer360_id")
+        stripe_metrics = (
+            s.select(F.col("customer_id").alias("source_id"), "total_sales", "total_refunds", "total_sales_count")
+            .join(se, "source_id")
+            .groupBy("customer360_id")
+            .agg(
+                F.sum(F.coalesce(F.col("total_sales"), F.lit(0.0))).alias("total_sales"),
+                F.sum(F.coalesce(F.col("total_refunds"), F.lit(0.0))).alias("total_refunds"),
+                F.sum(F.coalesce(F.col("total_sales_count"), F.lit(0))).alias("total_sales_count"),
+            )
+        )
+        marketo_metrics = (
+            m.select(F.col("lead_id").cast("string").alias("source_id"), "count_sends", "count_opens")
+            .join(me, "source_id")
+            .groupBy("customer360_id")
+            .agg(
+                F.sum(F.coalesce(F.col("count_sends"), F.lit(0))).alias("count_sends"),
+                F.sum(F.coalesce(F.col("count_opens"), F.lit(0))).alias("count_opens"),
+            )
+        )
+        return (
+            summary.filter(~F.col("is_organization_header"))
+            .join(stripe_metrics, "customer360_id", "left")
+            .join(marketo_metrics, "customer360_id", "left")
+        )
+
+    # --- end to end ------------------------------------------------------------------
+
+    def run(
+        self,
+        marketo_raw: DataFrame,
+        stripe_raw: DataFrame,
+        zendesk_users_raw: DataFrame,
+        zendesk_orgs_raw: DataFrame,
+    ) -> dict[str, DataFrame]:
+        # localCheckpoint (not mere persist): the cleaned frames are each
+        # referenced by ~6 downstream plans; truncating lineage keeps the
+        # optimizer's input linear instead of copying the join-heavy
+        # cleaning plan into every attribute table
+        m = self.clean_marketo(marketo_raw).localCheckpoint()
+        s = self.clean_stripe(stripe_raw).localCheckpoint()
+        z = self.clean_zendesk(zendesk_users_raw, zendesk_orgs_raw).localCheckpoint()
+        edges = self.source_matches(m, s, z)
+        mapping = self.mapping(m, s, z, edges).localCheckpoint()
+        emap = self.entity_map(mapping).localCheckpoint()
+        attrs = self.attribute_tables(m, s, z, emap)
+        summary = self.summary(mapping, attrs)
+        customer = self.customer(summary, s, m, emap)
+        return {
+            "marketo_clean": m,
+            "stripe_clean": s,
+            "zendesk_clean": z,
+            "matches": edges,
+            "mapping": mapping,
+            "entity_map": emap,
+            **{f"customer360__{k}": v for k, v in attrs.items()},
+            "customer360__summary": summary,
+            "customer360__customer": customer,
+        }

@@ -999,3 +999,23 @@ def multimodal_features(spark, sf):
 
     media = multimodal.synth_media(spark, n=256)
     return multimodal.extract_features(media)
+
+
+@query("customer360_pipeline")  # stateful multi-stage pipeline -> rows-only check
+def customer360_pipeline(spark, sf):
+    """End-to-end reference-analog pipeline (cleaning -> union-of-equi-
+    join matching -> connected components -> golden records) over the
+    deterministic customer-360 fixtures; returns the summary table
+    (customer360__summary analog). The sf_dir is unused — the fixture
+    generator is the pipeline's own deterministic source."""
+    from dbt_customer360_spark import fixtures
+    from dbt_customer360_spark.pipeline import Customer360Pipeline
+
+    pipe = Customer360Pipeline(spark)
+    out = pipe.run(
+        fixtures.marketo_leads(spark),
+        fixtures.stripe_customers(spark),
+        fixtures.zendesk_users(spark),
+        fixtures.zendesk_organizations(spark),
+    )
+    return out["customer360__summary"]

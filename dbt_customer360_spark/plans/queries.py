@@ -1019,3 +1019,252 @@ def customer360_pipeline(spark, sf):
         fixtures.zendesk_organizations(spark),
     )
     return out["customer360__summary"]
+
+
+# =============================================================================
+# Coverage batch 2: date spine, ip classify, trim, avg-of-avg, header
+# union, conditional window partition, embedding near-dup, ngram oracle
+# =============================================================================
+
+
+@query(
+    "date_spine_cross_join",
+    """
+    with spine as (
+      select unnest(generate_series(timestamp '1995-01-01',
+                                    timestamp '1995-12-01', interval 1 month)) as month
+    ), m as (
+      select cast(date_trunc('month', o_orderdate) as timestamp) as month,
+             count(*) as n_orders
+      from orders group by 1
+    )
+    select r.r_name as region_name, spine.month, coalesce(m.n_orders, 0) as n_orders
+    from spine cross join region r
+    left join m on m.month = spine.month
+    """,
+)
+def date_spine_cross_join(spark, sf):
+    """J15/F14: date spine (sequence+explode) cross-joined to a dim
+    (analyses_old/drafts/monthly_metrics_customer360.sql:38)."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("1995-01-01")),
+                F.to_timestamp(F.lit("1995-12-01")),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    r = _t(spark, sf, "region")
+    m = (
+        _t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        spine.crossJoin(r.select(F.col("r_name").alias("region_name")))
+        .join(m, "month", "left")
+        .select(
+            "region_name", "month", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+        )
+    )
+
+
+@query(
+    "ip_classify",
+    """
+    with ips as (
+      select c_custkey,
+             case when c_custkey % 4 = 0
+                  then 'fe80::' || cast(c_custkey as varchar)
+                  else '10.0.' || cast(c_custkey % 256 as varchar) || '.' || cast((c_custkey * 7) % 256 as varchar)
+             end as ip_address
+      from customer)
+    select c_custkey, ip_address,
+           case when ip_address like '%:%' then 'ipv6' else 'ipv4' end as ip_type
+    from ips
+    """,
+)
+def ip_classify(spark, sf):
+    """F7: '%:%' ipv6 test (customer360__ip_address.sql:23-25)."""
+    c = _t(spark, sf, "customer")
+    ip = F.when(
+        F.col("c_custkey") % 4 == 0,
+        F.concat(F.lit("fe80::"), F.col("c_custkey").cast("string")),
+    ).otherwise(
+        F.format_string(
+            "10.0.%d.%d", (F.col("c_custkey") % 256).cast("int"), ((F.col("c_custkey") * 7) % 256).cast("int")
+        )
+    )
+    out = c.select("c_custkey", ip.alias("ip_address"))
+    return out.withColumn(
+        "ip_type", F.when(F.col("ip_address").like("%:%"), "ipv6").otherwise("ipv4")
+    )
+
+
+@query(
+    "multi_char_trim",
+    """
+    select c_custkey,
+           trim(' ,' || c_name || ', ,', ' ,') as trimmed,
+           ltrim(',,' || c_name, ',') as ltrimmed,
+           rtrim(c_name || '  ', ' ') as rtrimmed
+    from customer
+    """,
+)
+def multi_char_trim(spark, sf):
+    """F8/M6: multi-char trim variants (macros/trim.sql:7-23)."""
+    c = _t(spark, sf, "customer")
+    padded = F.concat(F.lit(" ,"), F.col("c_name"), F.lit(", ,"))
+    return c.select(
+        "c_custkey",
+        F.expr("trim(BOTH ' ,' FROM concat(' ,', c_name, ', ,'))").alias("trimmed"),
+        F.expr("trim(LEADING ',' FROM concat(',,', c_name))").alias("ltrimmed"),
+        F.expr("trim(TRAILING ' ' FROM concat(c_name, '  '))").alias("rtrimmed"),
+    )
+
+
+@query(
+    "avg_of_avg_rollup",
+    """
+    with seg as (
+      select c_nationkey, c_mktsegment,
+             sum(cast(c_acctbal as decimal(22,6))) / count(*) as seg_avg
+      from customer group by 1, 2
+    )
+    select c_nationkey,
+           cast(sum(seg_avg) / count(*) as double) as avg_of_segment_avgs
+    from seg group by c_nationkey
+    """,
+)
+def avg_of_avg_rollup(spark, sf):
+    """A5: avg-of-averages org rollup (customer.sql:306-317) — both
+    levels in exact decimal, one final double cast."""
+    c = _t(spark, sf, "customer")
+    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count("*")).alias("seg_avg")
+    )
+    return seg.groupBy("c_nationkey").agg(
+        (F.sum("seg_avg") / F.count("*")).cast("double").alias("avg_of_segment_avgs")
+    )
+
+
+@query(
+    "header_union",
+    """
+    select cast(n_nationkey as varchar) as row_id, n_name as name,
+           n_regionkey, false as is_region_header
+    from nation
+    union all
+    select 'hdr_' || cast(r_regionkey as varchar) as row_id, r_name as name,
+           r_regionkey as n_regionkey, true as is_region_header
+    from region
+    """,
+)
+def header_union(spark, sf):
+    """U2: detail rows ∪ synthesized header rows
+    (customer360__mapping.sql:147 header-row injection)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    detail = n.select(
+        F.col("n_nationkey").cast("string").alias("row_id"),
+        F.col("n_name").alias("name"),
+        "n_regionkey",
+        F.lit(False).alias("is_region_header"),
+    )
+    headers = r.select(
+        F.concat(F.lit("hdr_"), F.col("r_regionkey").cast("string")).alias("row_id"),
+        F.col("r_name").alias("name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+        F.lit(True).alias("is_region_header"),
+    )
+    return detail.unionByName(headers)
+
+
+@query(
+    "conditional_window_partition",
+    """
+    select * from (
+      select o_orderkey, o_custkey, o_totalprice,
+             row_number() over (
+               partition by case when o_totalprice > 200 then 'big' else cast(o_custkey as varchar) end
+               order by o_totalprice desc, o_orderkey asc) as idx
+      from orders) t where idx <= 2
+    """,
+)
+def conditional_window_partition(spark, sf):
+    """W5: window partitioned by a CASE expression
+    (customer360__address.sql:190-191 org-header conditional key)."""
+    o = _t(spark, sf, "orders")
+    key = F.when(F.col("o_totalprice") > 200, F.lit("big")).otherwise(
+        F.col("o_custkey").cast("string")
+    )
+    w = Window.partitionBy(key).orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("idx", F.row_number().over(w))
+        .filter(F.col("idx") <= 2)
+    )
+
+
+@query(
+    "emb_cosine_dedup",
+    """
+    with e as (select vec_id, label, cast(embedding as double[]) as v from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) as cos_r
+    from e a join e b on a.label = b.label and a.vec_id < b.vec_id
+    where round(list_cosine_similarity(a.v, b.v), 4) >= 0.25
+    """,
+)
+def emb_cosine_dedup(spark, sf):
+    """Embedding-cosine near-dup detection, label-blocked (the
+    training-data dedup task-brief item); exact cosine via
+    aggregate/zip_with on double arrays."""
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("v").alias("vb"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.25)
+    )
+
+
+_NGRAM_ORACLE = """
+    with toks as (
+      select doc_id, lang,
+             list_filter(str_split_regex(lower(regexp_replace(text, '[^a-z0-9A-Z ]', ' ', 'g')), '\\s+'),
+                         x -> x <> '') as ws
+      from documents
+    ), grams as (
+      select doc_id, lang,
+             list_distinct(
+               case when len(ws) < 3 then [array_to_string(ws, ' ')]
+                    else list_transform(generate_series(1, len(ws) - 2),
+                                        i -> array_to_string(ws[i:i+2], ' '))
+               end) as g
+      from toks
+    )
+    select a.doc_id as id_a, b.doc_id as id_b,
+           round(len(list_intersect(a.g, b.g)) * 1.0
+                 / len(list_distinct(list_concat(a.g, b.g))), 6) as jaccard_r
+    from grams a join grams b on a.lang = b.lang and a.doc_id < b.doc_id
+    where len(list_intersect(a.g, b.g)) * 1.0
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+"""
+
+
+@query("ngram_jaccard_oracle", _NGRAM_ORACLE)
+def ngram_jaccard_oracle(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs, lang-blocked — oracle-checked
+    variant of ngram_jaccard_dedup (set algebra on both engines)."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2, block_col="lang")
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
+    )

@@ -308,6 +308,23 @@ class LakeTable:
             m["batch_ids"].append(batch_id)
         return self._commit(m)
 
+    def compact(
+        self, keys: list[str] | None = None, drop_tombstones_col: str | None = None
+    ) -> int:
+        """Rewrite the table into fresh bucket files: merges the small
+        files accumulated by appends/merges and optionally drops
+        merge-on-read tombstone rows (physical cleanup of logical
+        deletes — safe once no replayable stream can carry LSNs at or
+        below the live watermark)."""
+        m = self._read_manifest()
+        keys = keys or m.get("keys") or [m["schema"][0][0]]
+        df = self.read()
+        if drop_tombstones_col and drop_tombstones_col in df.columns:
+            df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
+        m["files"] = self._write_bucket_files(df, keys)
+        m["keys"] = keys
+        return self._commit(m)
+
     # --- schema evolution ----------------------------------------------------------
 
     def rename_column(self, old: str, new: str) -> int:

@@ -1268,3 +1268,45 @@ def ngram_jaccard_oracle(spark, sf):
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
     )
+
+
+from dbt_customer360_spark.functions import udfs as U  # noqa: E402
+
+
+@query(
+    "sha256_invariant",
+    """
+    select doc_id, sha256(text) as content_sha
+    from documents
+    """,
+)
+def sha256_invariant(spark, sf):
+    """§2.11 U2: the per-row content-sha256 invariant (BASELINE.json:15)
+    via the Arrow pandas UDF — the oracle is DuckDB's native sha256, so
+    this also proves the UDF equals a native implementation."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", U.content_sha256("text").alias("content_sha"))
+
+
+_LANG_ORACLE = f"""
+    with raw as (
+      select doc_id,
+             (['PY', 'python', 'golang', 'Rust', 'C++', 'JS', 'java', 'unknownlang'])
+               [(doc_id % 8 + 1)::int] as raw_lang
+      from documents)
+    select doc_id, raw_lang, {U.normalize_lang_sql('raw_lang')} as lang_norm
+    from raw
+"""
+
+
+@query("lang_normalize", _LANG_ORACLE)
+def lang_normalize(spark, sf):
+    """§2.11 U2: language-tag canonicalization pandas UDF vs a CASE
+    oracle generated from the same mapping."""
+    d = _t(spark, sf, "documents")
+    variants = F.array(
+        *[F.lit(x) for x in ["PY", "python", "golang", "Rust", "C++", "JS", "java", "unknownlang"]]
+    )
+    raw = F.element_at(variants, (F.col("doc_id") % 8 + 1).cast("int"))
+    named = d.select("doc_id", raw.alias("raw_lang"))
+    return named.withColumn("lang_norm", U.normalize_lang("raw_lang"))

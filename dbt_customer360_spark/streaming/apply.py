@@ -71,7 +71,10 @@ class CDCApplier:
         if batch_id in self.table.committed_batch_ids():
             return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
 
-        batch = self.table.resolve_feed_columns(batch).persist()
+        # note: the batch is evaluated twice (stats pass + merge pass) but
+        # NOT persisted — a columnar re-scan of the source is cheaper than
+        # materializing a row-format memory copy of every micro-batch
+        batch = self.table.resolve_feed_columns(batch)
 
         bucket_col = F.pmod(
             F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(self.table.buckets)
@@ -84,7 +87,6 @@ class CDCApplier:
             F.collect_set(bucket_col).alias("touched"),
         ).collect()[0]
         if stats_row["rows_applied"] == 0:
-            batch.unpersist()
             return {"epoch": str(epoch_id), "skipped": False, "rows_applied": 0}
 
         upserts = (
@@ -99,7 +101,6 @@ class CDCApplier:
             batch_id=batch_id,
             touched=sorted(stats_row["touched"]),
         )
-        batch.unpersist()
 
         lineage = {
             "epoch": str(epoch_id),

@@ -73,3 +73,35 @@ def test_schema_evolution_add_and_rename(spark):
     resolved = t.resolve_feed_columns(feed)
     assert "lang" in resolved.columns and "language" not in resolved.columns
     assert t._read_manifest()["mapping_version"] == 1
+
+
+def test_compaction_drops_tombstones_and_merges_files(spark):
+    t = _table(spark, buckets=2)
+    df = spark.createDataFrame(
+        [("r", "p", 1, False), ("r", "q", 2, True), ("r", "s", 3, False)],
+        "repo string, path string, __max_lsn long, __deleted boolean",
+    )
+    t.merge_lsn(df, ["repo", "path"], batch_id="b0")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(f"e{i}", i)], "epoch string, n long"),
+            batch_id=f"a{i}",
+        )
+    n_files_before = sum(len(v) for v in t._read_manifest()["files"].values())
+    t.compact(keys=["repo", "path"], drop_tombstones_col="__deleted")
+    n_files_after = sum(len(v) for v in t._read_manifest()["files"].values())
+    assert n_files_after <= n_files_before
+    rows = {r.path for r in t.read().filter("repo = 'r'").collect()}
+    assert rows == {"p", "s"}  # tombstone physically gone
+
+
+def test_udf_sha256_equals_native(spark):
+    from dbt_customer360_spark.functions import udfs as U
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame([("hello",), ("",), (None,)], "content string")
+    rows = d.select(
+        U.content_sha256("content").alias("u"),
+        U.content_sha256_native("content").alias("n"),
+    ).collect()
+    assert all(r.u == r.n for r in rows)

@@ -1,0 +1,52 @@
+"""Physical-plan shape assertions — the scale contract.
+
+These tests pin the plans we designed for (SURVEY.md §4): broadcast
+hash joins for dims, pushed parquet filters/pruned schemas, and —
+critically — NO BroadcastNestedLoopJoin/CartesianProduct anywhere in
+the match path (the whole point of decomposing the OR-join)."""
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(QUERIES["broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_match_path_has_no_nested_loop(spark):
+    plan = _plan(QUERIES["match_candidates"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: scan schema only carries the two selected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine: two HashAggregate levels around the exchange."""
+    plan = _plan(QUERIES["pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_join_is_hash_join(spark):
+    plan = _plan(QUERIES["minhash_lsh_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -120,3 +120,112 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic k-means (Lloyd) in pure DataFrame ops for IVF.
+
+    Init: the k corpus vectors with the smallest xxhash64(vec_id, seed)
+    (a seeded deterministic sample — no driver RNG). Each iteration:
+    assign every row to its nearest centroid via a broadcast join, then
+    average per cluster with per-index element sums. Returns
+    (centroid_id, centroid: array<double>).
+    """
+    base = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.xxhash64("vec_id", F.lit(seed)).alias("h"),
+    )
+    init = base.orderBy("h").limit(k)
+    centroids = F.broadcast(
+        init.select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("centroid_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    pts = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            pts.crossJoin(centroids)
+            .withColumn("d", dist)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("v").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        # mean per cluster: element-wise sum via aggregate over collected
+        # arrays is O(cluster); use sum of per-index columns instead
+        sums = assigned.groupBy("centroid_id").agg(
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"),
+        )
+        centroids = F.broadcast(
+            sums.select(
+                "centroid_id",
+                F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
+            )
+        )
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell; each query probes its ``n_probe`` nearest cells and ranks
+    candidates by exact cosine. The corpus-side assignment shuffles by
+    centroid_id, so at scale each probe touches n_probe/n_centroids of
+    the data (the inverted-file effect)."""
+    cents = kmeans_centroids(corpus, dim, k=n_centroids, seed=seed)
+
+    def assign(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .crossJoin(cents)
+            .withColumn("d", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_keep)
+            .select(id_alias, "__v", "centroid_id")
+        )
+
+    c = assign(corpus, "neighbor_id", 1).withColumnRenamed("__v", "c_vec")
+    q = assign(queries, "query_id", n_probe).withColumnRenamed("__v", "q_vec")
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_customer360_spark.config import Customer360Config
 from dbt_customer360_spark.functions import fast as NF
 from dbt_customer360_spark.functions import normalize as N
 from dbt_customer360_spark.operators import golden
@@ -63,9 +64,17 @@ def _garbage_to_null(col) -> F.Column:
 
 
 class Customer360Pipeline:
-    def __init__(self, spark: SparkSession, fuzzy_threshold: float = 0.95):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Customer360Config | None = None,
+        fuzzy_threshold: float | None = None,
+    ):
         self.spark = spark
-        self.fuzzy_threshold = fuzzy_threshold
+        self.config = config or Customer360Config()
+        if fuzzy_threshold is not None:
+            self.config.fuzzy_threshold = fuzzy_threshold
+        self.fuzzy_threshold = self.config.fuzzy_threshold
         self.countries = seeds.load_country_codes(spark)
         self.states = seeds.load_state_codes(spark)
         self.nicknames = seeds.load_nicknames(spark)
@@ -376,11 +385,17 @@ class Customer360Pipeline:
         s = self._match_eligible(s, "customer_name_clean", ["phone_clean", "shipping_phone_clean"], "customer_address_line_1_long")
         z = self._match_eligible(z, "full_name_clean", ["phone_clean"], None)
 
+        # grain decides the fuzzy-verify name columns (source_matches.sql
+        # marketo_names/stripe_names blocks): organization grain compares
+        # org names, individual grain compares person names
+        m_org = self.config.grain.get("marketo") == "organization"
+        s_org = self.config.grain.get("stripe") == "organization"
+        z_org = self.config.grain.get("zendesk") == "organization"
         mk = m.select(
             F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"),
             F.col("email_clean").alias("email"),
-            F.lower("full_name_clean").alias("name1"),
-            F.lit(None).cast("string").alias("name2"),
+            (F.lower("organization_name_no_suffix") if m_org else F.lower("full_name_clean")).alias("name1"),
+            (F.lower("inferred_organization_name_no_suffix") if m_org else F.lit(None).cast("string")).alias("name2"),
             "phone_clean",
             F.col("company_phone_clean").alias("phone2"),
             F.col("mobile_phone_clean").alias("phone3"),
@@ -402,8 +417,8 @@ class Customer360Pipeline:
         sk = s.select(
             F.concat(F.lit("s:"), F.col("customer_id")).alias("node"),
             F.col("email_clean").alias("email"),
-            F.lower("customer_name_clean").alias("name1"),
-            F.lower("shipping_name_clean").alias("name2"),
+            (F.lower("customer_organization_name_no_suffix") if s_org else F.lower("customer_name_clean")).alias("name1"),
+            (F.lower("shipping_organization_name_no_suffix") if s_org else F.lower("shipping_name_clean")).alias("name2"),
             "phone_clean",
             F.col("shipping_phone_clean").alias("phone2"),
             F.lit(None).cast("string").alias("phone3"),
@@ -425,7 +440,7 @@ class Customer360Pipeline:
         zk = z.select(
             F.concat(F.lit("z:"), F.col("user_id").cast("string")).alias("node"),
             F.col("email_clean").alias("email"),
-            F.lower("full_name_clean").alias("name1"),
+            (F.lower("organization_name_no_suffix") if z_org else F.lower("full_name_clean")).alias("name1"),
             F.lit(None).cast("string").alias("name2"),
             "phone_clean",
             F.lit(None).cast("string").alias("phone2"),
@@ -470,8 +485,6 @@ class Customer360Pipeline:
             verify = F.col("a_email") == F.col("b_email")
             for an in ["a_name1", "a_name2"]:
                 for bn in ["b_name1", "b_name2"]:
-                    if an == "a_name2" or bn not in enriched.columns:
-                        continue
                     verify = verify | (
                         N.levenshtein_similarity(
                             F.coalesce(F.col(an), F.lit("aaa")),

@@ -132,3 +132,33 @@ def test_lsn_dedup(spark):
     )
     out = {(r.repo, r.path): r.v for r in dedup.lsn_dedup(df, ["repo", "path"]).collect()}
     assert out == {("r", "p"): "v5", ("r", "q"): "w2"}
+
+
+def test_ivf_topk_reasonable_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    # clustered data so IVF cells are meaningful
+    centers = rng.rand(4, 8) * 10
+    vecs = np.vstack([c + rng.rand(25, 8) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter("vec_id in (0, 30, 60)")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(df, q, dim=8, k=5, n_centroids=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # determinism
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(df, q, dim=8, k=5, n_centroids=4, n_probe=2).collect()
+    }
+    assert approx == again

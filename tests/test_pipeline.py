@@ -139,3 +139,49 @@ def test_org_headers(outputs):
     headers = mapping.filter(F.col("is_organization_header"))
     assert headers.count() > 0
     assert headers.select("customer360_organization_id").distinct().count() == headers.count()
+
+
+def test_highest_common_grain():
+    from dbt_customer360_spark.config import Customer360Config
+
+    c = Customer360Config()
+    assert c.highest_common_grain() == "individual"
+    c.grain["stripe"] = "organization"
+    assert c.highest_common_grain() == "organization"
+
+
+def test_org_grain_matches_by_company(spark):
+    """At organization grain, entities unify on fuzzy ORG names even when
+    person names/emails/phones all differ (reference grain vars)."""
+    from dbt_customer360_spark.config import Customer360Config
+    from dbt_customer360_spark.pipeline import Customer360Pipeline
+
+    cfg = Customer360Config()
+    cfg.grain = {"marketo": "organization", "stripe": "organization", "zendesk": "organization"}
+    pipe = Customer360Pipeline(spark, config=cfg)
+    m = spark.createDataFrame(
+        [(1, "a@x.com", "Alice A", "Globex", None, "5550000001", None, None)],
+        "lead_id long, email string, first_name string, company string, inferred_company string, phone string, company_phone string, mobile_phone string",
+    )
+    # minimal cleaned frames (skip clean_* for this focused test)
+    mc = spark.createDataFrame(
+        [("1", "a@x.com", "alice a", "Globex", None, "15550000001", None, None, None, None)],
+        "lead_id string, email_clean string, full_name_clean string, organization_name_no_suffix string, inferred_organization_name_no_suffix string, phone_clean string, company_phone_clean string, mobile_phone_clean string, address_line_1_long string, billing_address_line_1_long string",
+    )
+    for col in ["lead_city","billing_city","lead_state_code","billing_state_code","lead_state_long","billing_state_long","lead_postal_code","billing_postal_code","lead_country_long","billing_country_long","lead_country_code","billing_country_code"]:
+        mc = mc.withColumn(col, F.lit(None).cast("string"))
+    sc = spark.createDataFrame(
+        [("cus_1", "b@y.com", "bob b", "bob b", "Globex", None, "15559999999", None)],
+        "customer_id string, email_clean string, customer_name_clean string, shipping_name_clean string, customer_organization_name_no_suffix string, shipping_organization_name_no_suffix string, phone_clean string, shipping_phone_clean string",
+    )
+    for col in ["customer_address_line_1_long","shipping_address_line_1_long","customer_city","shipping_city","customer_state_code","shipping_state_code","customer_state_long","shipping_state_long","customer_postal_code","shipping_postal_code","customer_country_long","shipping_country_long","customer_country_code","shipping_country_code"]:
+        sc = sc.withColumn(col, F.lit(None).cast("string"))
+    zc = spark.createDataFrame(
+        [], "user_id long, organization_id long, email_clean string, full_name_clean string, organization_name string, organization_name_no_suffix string, phone_clean string, phone_extension string, is_active boolean, is_suspended boolean, updated_at timestamp, created_at timestamp",
+    )
+    # need a shared match KEY to become candidates (grain changes the
+    # VERIFY names, not candidate keys) -> give both the same phone
+    sc2 = sc.withColumn("phone_clean", F.lit("15550000001"))
+    edges = pipe.source_matches(mc, sc2, zc)
+    got = [(r.src, r.dst) for r in edges.collect()]
+    assert ("m:1", "s:cus_1") in got

@@ -66,15 +66,35 @@ def _shingles(text: Column, n: int = 5) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 5) -> Column:
-    """array<bigint> of length num_hashes: min over shingles of
-    xxhash64(shingle, salt=i) — the classic permutation approximation."""
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(
+    text: Column,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Length-``num_hashes`` minhash signature, computed in ONE fold over
+    the shingle array (``aggregate`` + ``zip_with(least)``): each shingle
+    is hashed ``num_hashes`` times and all mins update together — the
+    round-1 variant re-evaluated the shingle array once per hash.
+
+    ``hash_family``: 'xxhash64' (fastest, array<bigint>) or 'md5'
+    (array<string> of hex digests) — md5 exists verbatim in DuckDB, so
+    the md5 family is what the oracle-checked roster query uses."""
     sh = _shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    if hash_family == "md5":
+        init = F.array_repeat(F.lit("g" * 32), num_hashes)  # > any hex digest
+        per_shingle = lambda s: F.transform(  # noqa: E731
+            idx, lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+        )
+    else:
+        init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+        per_shingle = lambda s: F.transform(idx, lambda i: F.xxhash64(s, i))  # noqa: E731
+    return F.aggregate(
+        sh, init, lambda acc, s: F.zip_with(acc, per_shingle(s), lambda a, b: F.least(a, b))
     )
 
 
@@ -86,36 +106,41 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     max_bucket_size: int = 200,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash-LSH.
 
     Rows sharing any band signature become candidates; the pair list
     is deduplicated. Estimated jaccard (signature agreement rate) is
-    attached for downstream thresholding.
+    attached for downstream thresholding. With ``hash_family='md5'``
+    every hash (signature + band bucket) is plain md5, so the whole
+    candidate generation is reproducible in any engine with md5 — the
+    driver's DuckDB oracle replays it exactly.
     """
     rows_per_band = num_hashes // bands
     sig = df.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig")
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, hash_family).alias("sig"),
     )
     sig = sig.persist()
+
+    def band_bucket(b: int) -> F.Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined).cast("string")
+
     banded = sig.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -146,16 +171,24 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, shingle_n: int = 3) -> Column:
+def simhash(text: Column, shingle_n: int = 3, hash_family: str = "blake2b") -> Column:
     """64-bit SimHash of word shingles, as bigint (majority vote per bit
-    over an 8-byte blake2b of each shingle).
+    over an 8-byte hash of each shingle).
 
     Implemented as a vectorized Arrow pandas UDF with numpy bit ops --
     measured ~5x faster than the best pure-JVM formulation
     (:func:`simhash_expr`), because the JVM side has no per-bit SIMD
     primitive and falls back to 64-wide array lambdas.
+
+    ``hash_family``: 'blake2b' (8-byte digest, fastest) or 'md5'
+    (first 8 digest bytes, big-endian) — the md5 family is bit-exactly
+    reproducible in DuckDB (``('0x' || substr(md5(g),1,16))::ubigint``),
+    which is how the roster query gets an independent oracle. Bit b of
+    the result (b=0 = LSB) is set iff the majority of shingle hashes
+    have bit b set.
     """
     n = shingle_n
+    use_md5 = hash_family == "md5"
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -170,11 +203,15 @@ def simhash(text: Column, shingle_n: int = 3) -> Column:
                 grams = [" ".join(words)]
             else:
                 grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
-            digest = b"".join(
-                hashlib.blake2b(g.encode(), digest_size=8).digest() for g in grams
-            )
-            hs = np.frombuffer(digest, dtype=np.uint64)
-            bits = np.unpackbits(hs.view(np.uint8)).reshape(len(hs), 64)
+            if use_md5:
+                digest = b"".join(hashlib.md5(g.encode()).digest()[:8] for g in grams)
+                hs = np.frombuffer(digest, dtype=">u8").astype(np.uint64)
+            else:
+                digest = b"".join(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest() for g in grams
+                )
+                hs = np.frombuffer(digest, dtype=np.uint64)
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             votes = bits.sum(0).astype(np.int64) * 2 - len(hs)
             out[i] = weights[votes > 0].sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
@@ -215,12 +252,26 @@ def simhash_expr(text: Column, bits: int = 64, shingle_n: int = 3) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_bits: int = 16,
+    max_bucket_size: int = 200,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """Near-dup candidates: identical top ``prefix_bits`` of the simhash
-    (a 1-band LSH on the hash prefix), with full-hash hamming distance."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    (a 1-band LSH on the hash prefix), with full-hash hamming distance.
+
+    Hot prefix buckets (boilerplate-heavy corpora) are capped at
+    ``max_bucket_size`` rows (deterministic min-id survivors) before the
+    self-join, same bound as the minhash path — a popular prefix would
+    otherwise square."""
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), hash_family=hash_family).alias("sh"))
     s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    w = Window.partitionBy("bucket").orderBy("id")
+    s = s.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_bucket_size
+    )
     a = s.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = s.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -239,18 +290,50 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
-    Without ``block_col`` the join blocks on a cheap length bucket to
-    avoid the full cross product; with it, pairs are restricted to the
-    given blocking key. Jaccard via array_intersect/array_union sizes.
+    With ``block_col``, pairs are restricted to the given blocking key.
+    Without it, the join blocks on a log2 length bucket of the distinct
+    gram count: J(x,y) >= t implies |g_x|/|g_y| in [t, 1/t], so a pair
+    above threshold can differ by at most k = ceil(log2(1/t)) buckets —
+    the left side probes buckets b-k..b+k, making the blocked join
+    EXACT (no pair >= threshold is missed) while never going cartesian.
+    Jaccard via array_intersect/array_union sizes; result filtered to
+    ``jaccard >= threshold`` (so the length blocking is loss-free).
     """
+    import math
+
     grams = F.array_distinct(_shingles(F.col(text_col), n))
-    block = F.col(block_col) if block_col is not None else F.lit(1)
-    base = df.select(
-        F.col(id_col).alias("id"), grams.alias("grams"), block.alias("block")
+    if block_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"), grams.alias("grams"),
+            F.col(block_col).cast("string").alias("block"),
+        )
+        a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+        b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    else:
+        if threshold <= 0:
+            raise ValueError("threshold must be > 0 when block_col is None (length blocking)")
+        k = math.ceil(math.log2(1.0 / threshold)) if threshold < 1.0 else 0
+        bucket = F.floor(F.log2(F.size("grams") + F.lit(1))).cast("int")
+        base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
+            "__bucket", bucket
+        )
+        # probe side fans out to the k adjacent buckets on each side;
+        # build side keeps its own bucket -> equi-join, never cartesian
+        a = base.select(
+            F.explode(F.sequence(F.col("__bucket") - k, F.col("__bucket") + k)).alias("__probe"),
+            F.col("id").alias("id_a"),
+            F.col("grams").alias("g_a"),
+        ).select(F.col("__probe").cast("string").alias("block"), "id_a", "g_a")
+        b = base.select(
+            F.col("__bucket").cast("string").alias("block"),
+            F.col("id").alias("id_b"),
+            F.col("grams").alias("g_b"),
+        )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
-    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
     return (

@@ -51,7 +51,7 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("id") % 3 + 1).cast("int"),
         ).alias("modality"),
-        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 512)
+        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256)
         .cast("binary")
         .alias("media"),
         F.lit(64).alias("width"),
@@ -70,15 +70,20 @@ def extract_features(df: DataFrame, dim: int = 8, batch_rows: int = 256) -> Data
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
+                media = chunk["media"].to_numpy()
+                modality = chunk["modality"].to_numpy()
+                # single python pass over the Arrow batch (the hash call
+                # itself is per-asset by nature; a real codec would be a
+                # numpy/torch batch op here)
+                feats = [
+                    backend.decode_features(b, m, dim) for b, m in zip(media, modality)
+                ]
                 yield pd.DataFrame(
                     {
                         "asset_id": chunk["asset_id"],
                         "modality": chunk["modality"],
-                        "n_bytes": chunk["media"].map(lambda b: len(b) if b is not None else 0),
-                        "feature": chunk.apply(
-                            lambda r: backend.decode_features(r["media"], r["modality"], dim),
-                            axis=1,
-                        ),
+                        "n_bytes": [len(b) if b is not None else 0 for b in media],
+                        "feature": feats,
                     }
                 )
 

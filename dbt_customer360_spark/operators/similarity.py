@@ -7,11 +7,15 @@
   ``aggregate``/``zip_with`` — no Python in the row path.
 - ``lsh_topk``: random-hyperplane (sign-)LSH bucketing as the scale
   path — candidates only from matching buckets, then exact cosine.
-  Hyperplanes are deterministic from a seed via hash-derived
-  pseudo-gaussians, so results are reproducible with no driver RNG.
+  Hyperplanes are deterministic Rademacher (+-1) vectors derived from
+  md5 of (seed, plane, component), so results are reproducible with no
+  driver RNG AND replayable by any engine with md5 (the DuckDB oracle
+  embeds the same vectors).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -61,26 +65,28 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int, seed: int) -> Column:
-    """Deterministic pseudo-gaussian hyperplane as array<double>:
-    component j = sum of 4 centered uniforms derived from
-    xxhash64(plane, j, seed) (CLT approximation — adequate for LSH)."""
-    comps = []
-    for j in range(dim):
-        us = [
-            (F.pmod(F.xxhash64(F.lit(plane), F.lit(j), F.lit(seed + t)), F.lit(100003)) / 100003.0)
-            - 0.5
-            for t in range(4)
-        ]
-        comps.append(sum(us[1:], us[0]))
-    return F.array(*comps)
+def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes: component j of plane p is +1 iff
+    the first hex digit of md5('plane{seed}_{p}_{j}') is < 8 (a fair
+    coin on the hash). Rademacher projections satisfy the sign-LSH
+    property like gaussians do (Achlioptas-style sparse projections);
+    being a pure function of md5 they are reproducible in SQL engines,
+    which is how the ann_lsh roster query gets a DuckDB oracle."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"plane{seed}_{p}_{j}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(row)
+    return planes
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-LSH bucket id: bit i = sign(vec . plane_i)."""
+    """Sign-LSH bucket id: bit p = sign(vec . plane_p)."""
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p, seed)
+    for p, plane_vals in enumerate(rademacher_planes(dim, n_planes, seed)):
+        plane = F.array(*[F.lit(v) for v in plane_vals])
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
         )
@@ -149,23 +155,26 @@ def kmeans_centroids(
             F.col("v").alias("centroid"),
         )
     )
-    pts = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    pts = corpus.select(F.col("vec_id").alias("__pid"), F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(iters):
         dist = F.aggregate(
             F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        # argmin per point via min_by hash-aggregation (partial agg
+        # combines map-side) — NOT a window over the full vector, which
+        # would shuffle every embedding by its own bytes
         assigned = (
             pts.crossJoin(centroids)
             .withColumn("d", dist)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("v").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-                ),
+            .groupBy("__pid")
+            .agg(
+                F.min_by(
+                    F.struct("v", "centroid_id"), F.struct(F.col("d"), F.col("centroid_id"))
+                ).alias("__w")
             )
-            .filter(F.col("rn") == 1)
+            .select(F.col("__w.v").alias("v"), F.col("__w.centroid_id").alias("centroid_id"))
         )
         # mean per cluster: element-wise sum via aggregate over collected
         # arrays is O(cluster); use sum of per-index columns instead
@@ -206,15 +215,25 @@ def ivf_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy(id_alias).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-        return (
+        scored = (
             df.select(
                 F.col(id_col).alias(id_alias),
                 F.col(vec_col).cast("array<double>").alias("__v"),
             )
             .crossJoin(cents)
             .withColumn("d", dist)
-            .withColumn("rn", F.row_number().over(w))
+        )
+        if n_keep == 1:
+            # corpus-side argmin: min_by aggregation (map-side combine),
+            # no per-vector window shuffle
+            return scored.groupBy(id_alias).agg(
+                F.min_by(
+                    F.struct("__v", "centroid_id"), F.struct(F.col("d"), F.col("centroid_id"))
+                ).alias("__w")
+            ).select(id_alias, F.col("__w.__v").alias("__v"), F.col("__w.centroid_id").alias("centroid_id"))
+        w = Window.partitionBy(id_alias).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n_keep)
             .select(id_alias, "__v", "centroid_id")
         )

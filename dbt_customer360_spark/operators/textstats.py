@@ -114,13 +114,20 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
-def fingerprint(text: Column, window: int = 8) -> Column:
+def fingerprint(text: Column, window: int = 8, hash_family: str = "xxhash64") -> Column:
     """Document fingerprint: min rolling hash over word ``window``-grams
-    (winnowing-lite) — stable under small edits outside the min window."""
+    (winnowing-lite) — stable under small edits outside the min window.
+
+    'xxhash64' family returns bigint; 'md5' returns the min hex digest
+    string — same fingerprint semantics, but reproducible in DuckDB
+    (``list_min(list_transform(grams, g -> md5(g)))``), which is what
+    the oracle-checked roster query uses."""
     words = _words(text)
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - window, F.lit(0)))
     grams = F.when(cnt < window, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, window)))
     )
+    if hash_family == "md5":
+        return F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))

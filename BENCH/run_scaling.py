@@ -62,16 +62,26 @@ import os
 # so "proportional memory" would corrupt the comparison; 24g is ample
 # for 32 concurrent tasks at this batch size (no spills observed)
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = "24g"
-spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores * 2)
+# shuffle files + the target table live on tmpfs: on a real N->4N
+# cluster, executor-local shuffle disks and object-store bandwidth
+# scale WITH the cluster; this box has ONE shared NVMe, so leaving
+# them on it measures the device, not the engine. Identical setting
+# for both sizes. Staged input stays on disk (page-cached after the
+# warmup run, like a remote read-through cache).
+shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+local_dir = tempfile.mkdtemp(prefix=f"scaling_shuffle_{{cores}}_", dir=shm)
+root = tempfile.mkdtemp(prefix=f"scaling_table_{{cores}}_", dir=shm)
+spark = get_spark(app=f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores * 2,
+                  extra_conf={{"spark.local.dir": local_dir}})
 spark.sparkContext.setLogLevel("ERROR")
 events = spark.read.parquet(events_dir)
-root = tempfile.mkdtemp(prefix="scaling_")
 t0 = time.time()
 ap = CDCApplier(spark, root + "/repos", buckets=64)  # identical layout at both sizes
 replay_batch(ap, events, n_batches=4)
 dt = time.time() - t0
 final_rows = ap.state().count()
 shutil.rmtree(root, ignore_errors=True)
+shutil.rmtree(local_dir, ignore_errors=True)
 print(json.dumps({{"cores": cores, "sec": dt, "events_per_sec": n_events / dt, "final_rows": final_rows}}))
 spark.stop()
 """
@@ -132,9 +142,14 @@ Sandbox substitute for the north_rule's N vs 4N executor criterion
 parquet-staged {n_events:,}-event LSN-ordered change stream through
 the foreachBatch-style applier (single-pass max-LSN merge with
 map-side partial aggregation for hot-key skew, bucketed copy-on-write
-writes, tombstone deletes, idempotent epoch commits, lineage) — at
+writes, tombstone deletes, idempotent epoch commits, lineage riding
+the merge job via Observation — no separate stats pass) — at
 local[8] and local[32] on identical input files. Fresh subprocess and
 fresh target table per size; event generation excluded from timing.
+Shuffle dirs and the target table sit on tmpfs at BOTH sizes (a real
+N->4N cluster scales executor-local disks and object-store bandwidth
+with the cluster; this box's single shared NVMe would otherwise
+measure the device, not the engine); staged input stays on disk.
 
 | parallelism | wall sec | events/sec | final rows |
 |---|---|---|---|

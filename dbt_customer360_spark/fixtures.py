@@ -202,6 +202,40 @@ def zendesk_users(spark: SparkSession, n: int = 120) -> DataFrame:
     )
 
 
+def zendesk_ticket_metrics(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Per-user ticket KPIs (the zendesk__customer_metrics analog the
+    reference's customer table consumes, customer360__customer.sql:80-107):
+    counts plus per-user averages — all deterministic in p; every 7th
+    user has zero created tickets so the weighted average's
+    safe_divide NULL path is exercised."""
+    rows = []
+    for p in range(n):
+        if p % 5 == 4:
+            continue
+        created = 0 if p % 7 == 0 else (p % 13) + 1
+        resolved = max(created - (p % 3), 0)
+        rows.append(
+            (
+                1000 + p,
+                created,
+                resolved,
+                p % 4,
+                float((p % 5) + 1) if created else None,
+                float(30 + (p * 11) % 240) if created else None,
+                float(120 + (p * 17) % 960) if resolved else None,
+                float((p % 3) + 3) if resolved else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "user_id long, count_created_tickets long, count_resolved_tickets long, "
+        "count_reopened_tickets long, avg_ticket_priority double, "
+        "avg_first_reply_time_calendar_minutes double, "
+        "avg_first_resolution_calendar_minutes double, "
+        "avg_ticket_satisfaction_score double",
+    )
+
+
 def zendesk_organizations(spark: SparkSession) -> DataFrame:
     rows = [
         (i + 1, c, _ts(i, 6), _ts(i, 5)) for i, c in enumerate(COMPANIES)

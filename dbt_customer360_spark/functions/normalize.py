@@ -24,6 +24,24 @@ Faithfulness notes (quirks preserved deliberately):
 - ``split_address_lines`` splits on ', '/',' first, then before any
   of 29 secondary-unit designators (macros/split_address_lines.sql).
 
+Deliberate semantic FIXES (documented deviations, round-2 advice):
+
+- ``split_address_lines``: the reference macro's Jinja ternary renders
+  the match pattern '% ' for every needs_num=False designator (the
+  '{{ " %" if ... }}' lands on the wrong branch), so 'Basement',
+  'Lobby', etc. effectively never match, and the reference splits on
+  whichever case variant (as-written/lower/UPPER) matched. We match
+  '% <unit lowercase>' against lower(address) and split on the
+  canonical token — the macro's evident intent. The oracle twins are
+  generated from THIS semantics (self-consistent, and flagged here as
+  a deviation from the rendered reference SQL).
+- ``org_suffixes`` suffix TAG: the reference macro compares
+  lower(org) LIKE '% Agency' with the suffix NOT lowercased, so its
+  _suffix tag can never fire (always NULL). We lowercase the pattern
+  so the tag actually reports the stripped suffix; the *strip* itself
+  is bug-for-bug identical. Set the tag aside if byte-parity with the
+  reference's always-NULL column is required.
+
 Every builder also has a ``*_sql`` twin that renders the equivalent
 ANSI-SQL CASE chain (used to generate DuckDB oracle SQL from the SAME
 word lists, so the oracle can never drift from the Spark side).

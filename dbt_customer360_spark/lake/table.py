@@ -283,6 +283,17 @@ class LakeTable:
             .select("__w.*")
         )
         new_files = self._write_bucket_files(merged, keys)
+        # guard against a caller-supplied `touched` that misses buckets
+        # actually present in the batch: those buckets' target rows were
+        # never read, so replacing their file lists would silently drop
+        # pre-existing rows. Fail the commit instead (round-1 advice).
+        stray = set(new_files.keys()) - touched_set
+        if stray:
+            raise ValueError(
+                f"merge_lsn: batch rows landed in buckets {sorted(stray)} outside "
+                f"the declared touched set {sorted(touched_set)}; refusing to "
+                "commit a merge that would overwrite unread target buckets"
+            )
         files = {b: p for b, p in m["files"].items() if b not in touched_set}
         files.update(new_files)
         m["files"] = files

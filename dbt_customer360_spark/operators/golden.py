@@ -32,8 +32,15 @@ def rank_values(
     recency_col: Column | None = None,
     garbage_values: list[str] | None = None,
     deterministic: bool = True,
+    tie_break_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Attach value_count, value_last_updated_at, confidence_rank, index."""
+    """Attach value_count, value_last_updated_at, confidence_rank, index.
+
+    ``tie_break_cols``: secondary value columns appended to the window
+    order (after the primary value) so multi-column attributes — phone
+    (phone, extension), address (line_1, line_2, city, ...) — get a
+    FULLY deterministic index even when the primary value ties
+    (round-1 advice: index=1 must be stable across partitionings)."""
     entity = F.col(entity_col) if isinstance(entity_col, str) else entity_col
     value_w = Window.partitionBy(entity, F.col(value_col))
     df = df.withColumn("value_count", F.count("*").over(value_w))
@@ -51,6 +58,9 @@ def rank_values(
     order.append(F.coalesce(F.col("value_last_updated_at"), F.lit("1970-01-01").cast("timestamp")).desc())
     if deterministic:
         order.append(F.col(value_col).asc_nulls_last())
+        for c in tie_break_cols or []:
+            if c != value_col:
+                order.append(F.col(c).cast("string").asc_nulls_last())
     rank_w = Window.partitionBy(entity).orderBy(*order)
     return df.withColumn("confidence_rank", F.dense_rank().over(rank_w)).withColumn(
         "index", F.row_number().over(rank_w)

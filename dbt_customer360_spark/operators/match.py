@@ -84,8 +84,15 @@ def candidate_pairs(
             F.col("__raw").isNotNull() & ~F.col("__raw").startswith("null_")
         ).drop("__raw")
 
-    lk = keyed(left, left_id, [(r, r.left_key) for r in rules]).dropDuplicates(["__id", "__k"])
-    rk = keyed(right, right_id, [(r, r.right_key) for r in rules]).dropDuplicates(["__id", "__k"])
+    # min(rule) (not dropDuplicates) so the surviving rule name is
+    # deterministic when two rules in one group emit the same key —
+    # the final per-pair min("rule") then operates on a stable input
+    lk = keyed(left, left_id, [(r, r.left_key) for r in rules]).groupBy("__id", "__k").agg(
+        F.min("rule").alias("rule")
+    )
+    rk = keyed(right, right_id, [(r, r.right_key) for r in rules]).groupBy("__id", "__k").agg(
+        F.min("rule").alias("rule")
+    )
     lk = _cap_hot_keys(lk, "__k", "__id", max_key_frequency)
     rk = _cap_hot_keys(rk, "__k", "__id", max_key_frequency)
     pairs = lk.join(

@@ -63,6 +63,78 @@ def _garbage_to_null(col) -> F.Column:
     return F.when((c == "") | (c == "#REF!"), F.lit(None)).otherwise(c)
 
 
+def attach_mapping_table(
+    df: DataFrame, map_df: DataFrame, join_on: str, map_join_on: str, id_col: str
+) -> DataFrame:
+    """S4 map-table case (int_customer360__stripe.sql:25-36): left join
+    an external mapping table to attach an internal match-id column to
+    a connector table before cleaning. The mapping table is a small
+    curated dim — broadcast."""
+    m = F.broadcast(
+        map_df.select(F.col(map_join_on).alias("__map_join"), F.col(id_col))
+    )
+    return df.join(m, df[join_on] == F.col("__map_join"), "left").drop("__map_join")
+
+
+def _alt_full_name(name_col: str, alts_col: str) -> F.Column:
+    """Nickname-canonicalized full name: first token replaced by the
+    first (sorted) canonical name from possible_alt_first_names — the
+    alt-name verify path ('Bob Smith' ~ 'Robert Smith')."""
+    first_alt = F.split_part(F.col(alts_col), F.lit(","), F.lit(1))
+    rest = F.array_join(F.slice(F.split(F.trim(F.col(name_col)), r"\s+"), 2, 1000), " ")
+    return F.when(
+        F.col(alts_col).isNotNull() & (F.col(alts_col) != "") & F.col(name_col).isNotNull(),
+        F.lower(F.concat_ws(" ", first_alt, rest)),
+    )
+
+
+# the engine's raw-connector input contract (the reference's staging
+# column surface): used to synthesize EMPTY inputs for sources disabled
+# via config (customer360__using_* vars) so every downstream operator
+# runs unchanged with zero rows from that branch
+RAW_SCHEMAS = {
+    "marketo_leads": (
+        "lead_id long, email string, first_name string, last_name string, "
+        "company string, inferred_company string, phone string, "
+        "company_phone string, mobile_phone string, address string, "
+        "city string, state string, country string, postal_code string, "
+        "billing_street string, billing_city string, billing_state string, "
+        "billing_country string, billing_postal_code string, "
+        "anonymous_ip string, is_unsubscribed boolean, is_email_invalid boolean, "
+        "do_not_call boolean, updated_timestamp timestamp, created_timestamp timestamp, "
+        "count_sends long, count_opens long"
+    ),
+    "stripe_customers": (
+        "customer_id string, email string, customer_name string, "
+        "shipping_name string, phone string, shipping_phone string, "
+        "customer_address_line_1 string, customer_address_line_2 string, "
+        "customer_address_city string, customer_address_state string, "
+        "customer_address_country string, customer_address_postal_code string, "
+        "shipping_address_line_1 string, shipping_address_line_2 string, "
+        "shipping_address_city string, shipping_address_state string, "
+        "shipping_address_country string, shipping_address_postal_code string, "
+        "is_delinquent boolean, is_deleted boolean, customer_created_at timestamp, "
+        "total_sales double, total_refunds double, total_sales_count long, "
+        "most_recent_sale_date timestamp"
+    ),
+    "zendesk_users": (
+        "user_id long, organization_id long, email string, name string, "
+        "phone string, role string, is_active boolean, is_suspended boolean, "
+        "updated_at timestamp, created_at timestamp"
+    ),
+    "zendesk_organizations": (
+        "organization_id long, name string, updated_at timestamp, created_at timestamp"
+    ),
+    "zendesk_ticket_metrics": (
+        "user_id long, count_created_tickets long, count_resolved_tickets long, "
+        "count_reopened_tickets long, avg_ticket_priority double, "
+        "avg_first_reply_time_calendar_minutes double, "
+        "avg_first_resolution_calendar_minutes double, "
+        "avg_ticket_satisfaction_score double"
+    ),
+}
+
+
 class Customer360Pipeline:
     def __init__(
         self,
@@ -78,6 +150,30 @@ class Customer360Pipeline:
         self.countries = seeds.load_country_codes(spark)
         self.states = seeds.load_state_codes(spark)
         self.nicknames = seeds.load_nicknames(spark)
+        # pre-aggregated nickname map: lower(nickname) -> sorted
+        # comma-joined canonical names. Aggregating the TINY seed once
+        # (instead of fanning out the fact table and re-grouping it by
+        # every column, as round 1 did for marketo) keeps the nickname
+        # enrichment a plain broadcast left join with no fanout.
+        self.nick_map = (
+            self.nicknames.groupBy(F.lower("nickname").alias("__nick"))
+            .agg(
+                F.array_join(F.array_sort(F.collect_set("canonical_name")), ",").alias(
+                    "__alt_names"
+                )
+            )
+        )
+
+    def _with_alt_first_names(self, df: DataFrame, name_col: str, out_col: str) -> DataFrame:
+        """possible_alt_first_names for a cleaned person-name column
+        (int_customer360__{marketo,stripe,zendesk}.sql nickname joins —
+        stripe.sql:460-469, zendesk.sql:313-317): broadcast join the
+        pre-aggregated nickname map on the lowercase first token."""
+        first = F.lower(F.split_part(F.col(name_col), F.lit(" "), F.lit(1)))
+        nm = F.broadcast(self.nick_map)
+        return df.join(nm, first == nm["__nick"], "left").withColumnRenamed(
+            "__alt_names", out_col
+        ).drop("__nick")
 
     # --- geo enrichment -----------------------------------------------------
 
@@ -133,6 +229,15 @@ class Customer360Pipeline:
 
     # --- cleaning layer -------------------------------------------------------
 
+    def _internal_id_cols(self, raw: DataFrame) -> list[str]:
+        """S4: extra exact-match key columns (customer360_internal_match_ids
+        var; int_customer360__stripe.sql:25-36 map-table join, :31-32) —
+        any configured id column present on the raw connector table is
+        carried through cleaning so source_matches can key on it. Use
+        :func:`attach_mapping_table` first when the id lives in an
+        external mapping table rather than on the source itself."""
+        return [c for c in self.config.internal_match_ids if c in raw.columns]
+
     def clean_marketo(self, leads: DataFrame) -> DataFrame:
         """int_customer360__marketo.sql semantics on the fixture columns."""
         df = leads
@@ -181,20 +286,7 @@ class Customer360Pipeline:
         df = self._resolve_country(df, "country", "lead")
         df = self._resolve_state(df, "billing_state", "billing")
         df = self._resolve_country(df, "billing_country", "billing")
-        # nickname fanout + deterministic re-agg (stripe.sql:460-469)
-        nick = self.nicknames.select(
-            F.lower("nickname").alias("__nick"),
-            F.col("canonical_name").alias("__canon"),
-        )
-        df = (
-            df.join(nick, F.lower(F.split_part(full, F.lit(" "), F.lit(1))) == F.col("__nick"), "left")
-            .groupBy(*[c for c in df.columns])
-            .agg(
-                F.array_join(F.array_sort(F.collect_set("__canon")), ",").alias(
-                    "possible_alt_first_names"
-                )
-            )
-        )
+        df = self._with_alt_first_names(df, "full_name_clean", "possible_alt_first_names")
         return df.select(
             "lead_id",
             "email_clean",
@@ -231,6 +323,7 @@ class Customer360Pipeline:
             "possible_alt_first_names",
             "count_sends",
             "count_opens",
+            *self._internal_id_cols(leads),
         )
 
     def clean_stripe(self, customers: DataFrame) -> DataFrame:
@@ -287,11 +380,19 @@ class Customer360Pipeline:
         df = self._resolve_country(df, "customer_address_country", "customer")
         df = self._resolve_state(df, "shipping_address_state", "shipping")
         df = self._resolve_country(df, "shipping_address_country", "shipping")
+        df = self._with_alt_first_names(
+            df, "customer_name_clean", "customer_possible_alt_first_names"
+        )
+        df = self._with_alt_first_names(
+            df, "shipping_name_clean", "shipping_possible_alt_first_names"
+        )
         return df.select(
             "customer_id",
             "email_clean",
             "customer_name_clean",
             "shipping_name_clean",
+            "customer_possible_alt_first_names",
+            "shipping_possible_alt_first_names",
             "customer_organization_name_no_suffix",
             "shipping_organization_name_no_suffix",
             "phone_clean",
@@ -320,6 +421,7 @@ class Customer360Pipeline:
             "total_sales",
             "total_refunds",
             "total_sales_count",
+            *self._internal_id_cols(customers),
         )
 
     def clean_zendesk(self, users: DataFrame, orgs: DataFrame) -> DataFrame:
@@ -346,11 +448,13 @@ class Customer360Pipeline:
             "organization_name_no_suffix",
             NF.org_suffixes_fast("organization_name")["no_suffix"],
         )
+        df = self._with_alt_first_names(df, "full_name_clean", "possible_alt_first_names")
         return df.select(
             "user_id",
             "organization_id",
             "email_clean",
             "full_name_clean",
+            "possible_alt_first_names",
             "organization_name",
             "organization_name_no_suffix",
             "phone_clean",
@@ -361,6 +465,7 @@ class Customer360Pipeline:
             "created_at",
             "organization_updated_at",
             "organization_created_at",
+            *self._internal_id_cols(users),
         )
 
     # --- prep + matching -------------------------------------------------------
@@ -391,11 +496,33 @@ class Customer360Pipeline:
         m_org = self.config.grain.get("marketo") == "organization"
         s_org = self.config.grain.get("stripe") == "organization"
         z_org = self.config.grain.get("zendesk") == "organization"
+
+        # S4 internal match ids: sentinel-nullified exact-match key
+        # columns (reference source_matches.sql internal-match-id
+        # disjuncts; missing columns key as NULL and never match)
+        iids = list(self.config.internal_match_ids)
+
+        def iid_cols(df: DataFrame) -> list[F.Column]:
+            out = []
+            for name in iids:
+                c = F.col(name) if name in df.columns else F.lit(None).cast("string")
+                c = F.when(c.cast("string").startswith("null_"), F.lit(None)).otherwise(
+                    c.cast("string")
+                )
+                out.append(c.alias(f"iid_{name}"))
+            return out
+
         mk = m.select(
             F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"),
             F.col("email_clean").alias("email"),
             (F.lower("organization_name_no_suffix") if m_org else F.lower("full_name_clean")).alias("name1"),
             (F.lower("inferred_organization_name_no_suffix") if m_org else F.lit(None).cast("string")).alias("name2"),
+            (
+                F.lit(None).cast("string")
+                if m_org
+                else _alt_full_name("full_name_clean", "possible_alt_first_names")
+            ).alias("name3"),
+            *iid_cols(m),
             "phone_clean",
             F.col("company_phone_clean").alias("phone2"),
             F.col("mobile_phone_clean").alias("phone3"),
@@ -419,6 +546,12 @@ class Customer360Pipeline:
             F.col("email_clean").alias("email"),
             (F.lower("customer_organization_name_no_suffix") if s_org else F.lower("customer_name_clean")).alias("name1"),
             (F.lower("shipping_organization_name_no_suffix") if s_org else F.lower("shipping_name_clean")).alias("name2"),
+            (
+                F.lit(None).cast("string")
+                if s_org
+                else _alt_full_name("customer_name_clean", "customer_possible_alt_first_names")
+            ).alias("name3"),
+            *iid_cols(s),
             "phone_clean",
             F.col("shipping_phone_clean").alias("phone2"),
             F.lit(None).cast("string").alias("phone3"),
@@ -442,6 +575,12 @@ class Customer360Pipeline:
             F.col("email_clean").alias("email"),
             (F.lower("organization_name_no_suffix") if z_org else F.lower("full_name_clean")).alias("name1"),
             F.lit(None).cast("string").alias("name2"),
+            (
+                F.lit(None).cast("string")
+                if z_org
+                else _alt_full_name("full_name_clean", "possible_alt_first_names")
+            ).alias("name3"),
+            *iid_cols(z),
             "phone_clean",
             F.lit(None).cast("string").alias("phone2"),
             F.lit(None).cast("string").alias("phone3"),
@@ -451,6 +590,13 @@ class Customer360Pipeline:
             a = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
             b = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
             rules = [MatchRule("r1_email", "a_email", "b_email")]
+            # internal-id rules: each id column is its own rule GROUP
+            # (the group tag embeds the name) so two different id
+            # columns can never cross-match on a shared value
+            for name in iids:
+                rules.append(
+                    MatchRule(f"r0-{name}_internal", f"a_iid_{name}", f"b_iid_{name}")
+                )
             for i, ac in enumerate(["a_phone_clean", "a_phone2", "a_phone3"]):
                 for j, bc in enumerate(["b_phone_clean", "b_phone2", "b_phone3"]):
                     rules.append(MatchRule(f"r2_phone_{i}{j}", ac, bc))
@@ -480,11 +626,16 @@ class Customer360Pipeline:
                             )
                         )
                 enriched = enriched.filter(~F.col("rule").startswith("r3") | geo)
-            # fuzzy verify: exact email OR any name-combo levenshtein >= t
-            # (NULLs coalesced to distinct literals, source_matches.sql:150-151)
+            # fuzzy verify: exact email OR an internal-id equality OR any
+            # name-combo levenshtein >= t — name combos include the
+            # nickname-canonicalized alt names (name3), so 'Bob Smith' /
+            # 'Robert Smith' verify via the nickname path
+            # (source_matches.sql:133-153 + internal-match-id disjuncts)
             verify = F.col("a_email") == F.col("b_email")
-            for an in ["a_name1", "a_name2"]:
-                for bn in ["b_name1", "b_name2"]:
+            for name in iids:
+                verify = verify | (F.col(f"a_iid_{name}") == F.col(f"b_iid_{name}"))
+            for an in ["a_name1", "a_name2", "a_name3"]:
+                for bn in ["b_name1", "b_name2", "b_name3"]:
                     verify = verify | (
                         N.levenshtein_similarity(
                             F.coalesce(F.col(an), F.lit("aaa")),
@@ -610,6 +761,7 @@ class Customer360Pipeline:
                 F.explode(col).alias("source_id"),
                 "customer360_id",
                 "customer360_organization_id",
+                "is_organization_header",
             )
             out = part if out is None else out.unionByName(part)
         return out
@@ -621,6 +773,7 @@ class Customer360Pipeline:
         parts: list[DataFrame],
         value_cols: list[str],
         garbage: list[str] | None = None,
+        org_conditional_key: bool = False,
     ) -> DataFrame:
         unioned = parts[0]
         for p in parts[1:]:
@@ -628,12 +781,22 @@ class Customer360Pipeline:
         unioned = unioned.filter(
             F.coalesce(*[F.col(c) for c in value_cols]).isNotNull()
         )
+        # W5 org-header conditional window key (customer360__address.sql
+        # :190-211): header-grain rows rank within their organization,
+        # detail rows within their customer360_id
+        if org_conditional_key and "is_organization_header" in unioned.columns:
+            entity = F.when(
+                F.col("is_organization_header"), F.col("customer360_organization_id")
+            ).otherwise(F.col("customer360_id"))
+        else:
+            entity = F.col("customer360_id")
         ranked = golden.rank_values(
             unioned,
-            "customer360_id",
+            entity,
             value_cols[0],
             recency_col=F.coalesce("updated_at", "created_at"),
             garbage_values=garbage,
+            tie_break_cols=value_cols[1:] + ["source"],
         )
         return ranked.select(
             "customer360_id",
@@ -653,7 +816,13 @@ class Customer360Pipeline:
 
         def j(src_df, e_df, id_expr, cols):
             return src_df.select(id_expr.alias("source_id"), *cols).join(
-                e_df.select("source_id", "customer360_id"), "source_id"
+                e_df.select(
+                    "source_id",
+                    "customer360_id",
+                    "customer360_organization_id",
+                    "is_organization_header",
+                ),
+                "source_id",
             )
 
         mid = F.col("lead_id").cast("string")
@@ -715,6 +884,7 @@ class Customer360Pipeline:
                 ]),
             ],
             ["address_line_1", "address_line_2", "city", "state", "country", "postal_code"],
+            org_conditional_key=True,
         )
         ips = j(
             m.filter(F.col("anonymous_ip").isNotNull()),
@@ -790,16 +960,50 @@ class Customer360Pipeline:
                 "left",
             )
             .join(
-                attrs["ip_address"].select("customer360_id", "ip_address").dropDuplicates(["customer360_id"]),
+                # deterministic golden ip: ordered min pick, not an
+                # arbitrary dropDuplicates survivor (round-1 advice)
+                attrs["ip_address"]
+                .groupBy("customer360_id")
+                .agg(F.min("ip_address").alias("ip_address")),
                 "customer360_id",
                 "left",
             )
         )
         return out
 
-    def customer(self, summary: DataFrame, s: DataFrame, m: DataFrame, emap: DataFrame) -> DataFrame:
+    # per-customer SUM metrics (rolled up to orgs as sum(coalesce(.,0)))
+    _SUM_METRICS = ["total_sales", "total_refunds", "total_sales_count", "count_sends", "count_opens"]
+    _ZD_SUM_METRICS = [
+        "zendesk_count_created_tickets",
+        "zendesk_count_resolved_tickets",
+        "zendesk_count_reopened_tickets",
+    ]
+    # per-customer weighted AVERAGES (rolled up to orgs as avg-of-avgs,
+    # customer.sql:307-317)
+    _ZD_AVG_METRICS = [
+        "zendesk_avg_ticket_priority",
+        "zendesk_avg_first_reply_time_calendar_minutes",
+        "zendesk_avg_first_resolution_calendar_minutes",
+        "zendesk_avg_ticket_satisfaction_score",
+    ]
+
+    def customer(
+        self,
+        summary: DataFrame,
+        s: DataFrame,
+        m: DataFrame,
+        emap: DataFrame,
+        zendesk_metrics: DataFrame | None = None,
+    ) -> DataFrame:
         """customer360__customer analog: golden dims + per-source KPI
-        rollups (sum(coalesce(metric,0)), customer.sql:34-51, 64-71)."""
+        rollups (sum(coalesce(metric,0)), customer.sql:34-51, 64-71),
+        zendesk ticket metrics with per-customer WEIGHTED averages
+        (safe_divide(sum(avg*count), sum(count)), customer.sql:80-107),
+        and the org-grain rollup unioned under the org header rows
+        (customer.sql:262-335). Documented deviation: the reference's
+        rollup_to_orgs aggregates the HEADER rows (whose source ids are
+        NULL, so every org metric degenerates to 0/NULL); we roll up the
+        org's member customers — the evident intent."""
         se = emap.filter(F.col("source") == "stripe").select("source_id", "customer360_id")
         me = emap.filter(F.col("source") == "marketo").select("source_id", "customer360_id")
         stripe_metrics = (
@@ -821,25 +1025,100 @@ class Customer360Pipeline:
                 F.sum(F.coalesce(F.col("count_opens"), F.lit(0))).alias("count_opens"),
             )
         )
-        return (
+        detail = (
             summary.filter(~F.col("is_organization_header"))
             .join(stripe_metrics, "customer360_id", "left")
             .join(marketo_metrics, "customer360_id", "left")
         )
+        sum_cols = list(self._SUM_METRICS)
+        avg_cols: list[str] = []
+        if zendesk_metrics is not None:
+            ze = emap.filter(F.col("source") == "zendesk").select("source_id", "customer360_id")
+            created = F.coalesce(F.col("count_created_tickets"), F.lit(0))
+            resolved = F.coalesce(F.col("count_resolved_tickets"), F.lit(0))
+            zd = (
+                zendesk_metrics.select(
+                    F.col("user_id").cast("string").alias("source_id"),
+                    "count_created_tickets",
+                    "count_resolved_tickets",
+                    "count_reopened_tickets",
+                    "avg_ticket_priority",
+                    "avg_first_reply_time_calendar_minutes",
+                    "avg_first_resolution_calendar_minutes",
+                    "avg_ticket_satisfaction_score",
+                )
+                .join(ze, "source_id")
+                .groupBy("customer360_id")
+                .agg(
+                    F.sum(created).alias("zendesk_count_created_tickets"),
+                    F.sum(resolved).alias("zendesk_count_resolved_tickets"),
+                    F.sum(F.coalesce(F.col("count_reopened_tickets"), F.lit(0))).alias(
+                        "zendesk_count_reopened_tickets"
+                    ),
+                    golden.weighted_avg(F.col("avg_ticket_priority"), created).alias(
+                        "zendesk_avg_ticket_priority"
+                    ),
+                    golden.weighted_avg(
+                        F.col("avg_first_reply_time_calendar_minutes"), created
+                    ).alias("zendesk_avg_first_reply_time_calendar_minutes"),
+                    golden.weighted_avg(
+                        F.col("avg_first_resolution_calendar_minutes"), resolved
+                    ).alias("zendesk_avg_first_resolution_calendar_minutes"),
+                    golden.weighted_avg(
+                        F.col("avg_ticket_satisfaction_score"), resolved
+                    ).alias("zendesk_avg_ticket_satisfaction_score"),
+                )
+            )
+            detail = detail.join(zd, "customer360_id", "left")
+            sum_cols += self._ZD_SUM_METRICS
+            avg_cols += self._ZD_AVG_METRICS
+        # org rollup (A5 avg-of-avgs + sum-of-sums) attached to the org
+        # header rows, then unioned under the detail rows (U2 at the
+        # customer table, customer.sql:306-335)
+        rollup = detail.groupBy("customer360_organization_id").agg(
+            *[F.sum(F.coalesce(F.col(c), F.lit(0))).alias(c) for c in sum_cols],
+            *[F.avg(F.col(c)).alias(c) for c in avg_cols],
+        )
+        headers = summary.filter(F.col("is_organization_header")).join(
+            rollup, "customer360_organization_id", "left"
+        )
+        return detail.unionByName(headers.select(*detail.columns))
 
     # --- end to end ------------------------------------------------------------------
 
+    def _gated_input(self, df: DataFrame | None, enabled: bool, schema_key: str) -> DataFrame:
+        """Source-enablement gating (customer360__using_* vars): a
+        disabled source becomes an EMPTY frame with the contract schema,
+        so every downstream operator runs unchanged with zero rows from
+        that branch; an enabled source must actually be provided."""
+        if not enabled:
+            return self.spark.createDataFrame([], RAW_SCHEMAS[schema_key])
+        if df is None:
+            raise ValueError(f"{schema_key} input required (source enabled in config)")
+        return df
+
     def run(
         self,
-        marketo_raw: DataFrame,
-        stripe_raw: DataFrame,
-        zendesk_users_raw: DataFrame,
-        zendesk_orgs_raw: DataFrame,
+        marketo_raw: DataFrame | None = None,
+        stripe_raw: DataFrame | None = None,
+        zendesk_users_raw: DataFrame | None = None,
+        zendesk_orgs_raw: DataFrame | None = None,
+        zendesk_metrics_raw: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         # localCheckpoint (not mere persist): the cleaned frames are each
         # referenced by ~6 downstream plans; truncating lineage keeps the
         # optimizer's input linear instead of copying the join-heavy
         # cleaning plan into every attribute table
+        marketo_raw = self._gated_input(marketo_raw, self.config.using_marketo, "marketo_leads")
+        stripe_raw = self._gated_input(stripe_raw, self.config.using_stripe, "stripe_customers")
+        zendesk_users_raw = self._gated_input(
+            zendesk_users_raw, self.config.using_zendesk, "zendesk_users"
+        )
+        zendesk_orgs_raw = self._gated_input(
+            zendesk_orgs_raw, self.config.using_zendesk, "zendesk_organizations"
+        )
+        if not self.config.using_zendesk:
+            zendesk_metrics_raw = None
         m = self.clean_marketo(marketo_raw).localCheckpoint()
         s = self.clean_stripe(stripe_raw).localCheckpoint()
         z = self.clean_zendesk(zendesk_users_raw, zendesk_orgs_raw).localCheckpoint()
@@ -848,7 +1127,7 @@ class Customer360Pipeline:
         emap = self.entity_map(mapping).localCheckpoint()
         attrs = self.attribute_tables(m, s, z, emap)
         summary = self.summary(mapping, attrs)
-        customer = self.customer(summary, s, m, emap)
+        customer = self.customer(summary, s, m, emap, zendesk_metrics=zendesk_metrics_raw)
         return {
             "marketo_clean": m,
             "stripe_clean": s,

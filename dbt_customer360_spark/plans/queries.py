@@ -1194,6 +1194,7 @@ def customer360_pipeline(spark, sf):
         fixtures.stripe_customers(spark),
         fixtures.zendesk_users(spark),
         fixtures.zendesk_organizations(spark),
+        zendesk_metrics_raw=fixtures.zendesk_ticket_metrics(spark),
     )
     return out["customer360__summary"]
 
@@ -1445,6 +1446,102 @@ def ngram_jaccard_oracle(spark, sf):
     return pairs.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard_r")
     )
+
+
+_CUSTOMER_ROLLUP_ORACLE = """
+    with order_rows as (
+      select l_orderkey,
+             -- every inexact step is ONE double division on an exact
+             -- decimal sum, re-quantized to 6 dp (deterministic on any
+             -- engine; decimal-division scale rules are not portable)
+             cast(round(cast(sum(cast(l_extendedprice as decimal(22,6))) as double)
+                        / count(*), 6) as decimal(22,6)) as avg_price,
+             count(*) as n_lines
+      from lineitem group by l_orderkey
+    ), cust as (
+      select o.o_custkey,
+             sum(r.n_lines) as n_lines,
+             cast(round(cast(sum(r.avg_price * r.n_lines) as double)
+                        / sum(r.n_lines), 6) as decimal(22,6)) as w_avg_price
+      from order_rows r join orders o on r.l_orderkey = o.o_orderkey
+      group by o.o_custkey
+    ), detail as (
+      select cast(c.c_custkey as varchar) as row_id,
+             c.c_nationkey,
+             false as is_org_header,
+             coalesce(t.n_lines, 0) as n_lines,
+             cast(t.w_avg_price as double) as w_avg_price
+      from customer c left join cust t on c.c_custkey = t.o_custkey
+    ), rollup as (
+      select 'hdr_' || cast(c.c_nationkey as varchar) as row_id,
+             c.c_nationkey,
+             true as is_org_header,
+             sum(coalesce(t.n_lines, 0)) as n_lines,
+             cast(sum(t.w_avg_price) as double) / count(t.w_avg_price) as w_avg_price
+      from customer c left join cust t on c.c_custkey = t.o_custkey
+      group by c.c_nationkey
+    )
+    select * from detail union all select * from rollup
+"""
+
+
+@query("customer_metrics_rollup", _CUSTOMER_ROLLUP_ORACLE)
+def customer_metrics_rollup(spark, sf):
+    """The customer360__customer metric composition on TPC-H shapes:
+    per-entity WEIGHTED averages (safe_divide(sum(avg*count),
+    sum(count)), customer.sql:92-107), sum(coalesce) KPI rollups, then
+    the org-grain rollup (sum-of-sums + avg-of-avgs, customer.sql:
+    262-317) unioned under synthesized org header rows (U2 at the
+    customer table, :306-335). lineitem rows play the per-user metrics
+    table, customers the entities, nations the organizations."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    order_rows = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*"), 6)
+        .cast(DEC)
+        .alias("avg_price"),
+        F.count("*").alias("n_lines"),
+    )
+    # golden.weighted_avg is the same sum(avg*count)/sum(count) shape,
+    # spelled out here with the exact-sum -> one-double-division ->
+    # re-quantize discipline the cross-engine hash gate demands
+    cust = (
+        order_rows.join(o, order_rows["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.round(
+                F.sum(F.col("avg_price") * F.col("n_lines")).cast("double") / F.sum("n_lines"),
+                6,
+            )
+            .cast(DEC)
+            .alias("w_avg_price"),
+        )
+    )
+    detail = c.join(cust, c["c_custkey"] == cust["o_custkey"], "left").select(
+        F.col("c_custkey").cast("string").alias("row_id"),
+        "c_nationkey",
+        F.lit(False).alias("is_org_header"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.col("w_avg_price").cast("double").alias("w_avg_price"),
+    )
+    rollup = (
+        c.join(cust, c["c_custkey"] == cust["o_custkey"], "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.coalesce("n_lines", F.lit(0))).alias("n_lines"),
+            (F.sum("w_avg_price").cast("double") / F.count("w_avg_price")).alias("w_avg_price"),
+        )
+        .select(
+            F.concat(F.lit("hdr_"), F.col("c_nationkey").cast("string")).alias("row_id"),
+            "c_nationkey",
+            F.lit(True).alias("is_org_header"),
+            "n_lines",
+            "w_avg_price",
+        )
+    )
+    return detail.unionByName(rollup)
 
 
 from dbt_customer360_spark.functions import udfs as U  # noqa: E402

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_customer360_spark.lake.table import LakeTable
@@ -53,14 +53,18 @@ class CDCApplier:
     def apply_batch(self, batch: DataFrame, epoch_id: int | str) -> dict:
         """Apply one micro-batch exactly-once; returns lineage stats.
 
-        Two Spark jobs per batch:
-          1. one aggregation over the batch -> lineage stats AND the set
-             of touched hash-buckets (partition pruning for the merge);
+        Two Spark jobs per batch, neither a full-width re-scan:
+          1. distinct touched hash-buckets (inside ``merge_lsn``): the
+             scan is column-pruned to the merge KEYS + (lsn, op) for the
+             riding observation — never the content payload;
           2. the LSN merge itself (union touched target + batch,
              ``max_by`` reduce, bucketed write) — within-batch dedup,
              stale-replay rejection (high-watermark), and the upsert are
              all one comparator; map-side partial aggregation absorbs
              hot-key skew (see LakeTable.merge_lsn).
+        Lineage stats (row counts, LSN range, deletes) ride the merge
+        job itself via ``Observation`` — the round-1 separate stats
+        aggregation over (lsn, op, repo, path) is gone.
 
         Deletes become TOMBSTONES (not physical removals): the row keeps
         carrying its __max_lsn watermark so a stale replayed update with
@@ -71,26 +75,17 @@ class CDCApplier:
         if batch_id in self.table.committed_batch_ids():
             return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
 
-        # note: the batch is evaluated twice (stats pass + merge pass) but
-        # NOT persisted — a columnar re-scan of the source is cheaper than
-        # materializing a row-format memory copy of every micro-batch
         batch = self.table.resolve_feed_columns(batch)
-
-        bucket_col = F.pmod(
-            F.xxhash64(*[F.col(k) for k in KEYS]), F.lit(self.table.buckets)
-        )
-        stats_row = batch.agg(
-            F.count("*").alias("rows_applied"),
+        obs = Observation(f"cdc-{batch_id}")
+        observed = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_applied"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
-            F.collect_set(bucket_col).alias("touched"),
-        ).collect()[0]
-        if stats_row["rows_applied"] == 0:
-            return {"epoch": str(epoch_id), "skipped": False, "rows_applied": 0}
-
+        )
         upserts = (
-            batch.withColumn("__deleted", F.col("op") == "delete")
+            observed.withColumn("__deleted", F.col("op") == "delete")
             .withColumn("__max_lsn", F.col("lsn"))
             .drop("op", "lsn")
         )
@@ -99,16 +94,16 @@ class CDCApplier:
             KEYS,
             lsn_col="__max_lsn",
             batch_id=batch_id,
-            touched=sorted(stats_row["touched"]),
         )
+        stats = obs.get  # blocks until the merge's first action finishes
 
         lineage = {
             "epoch": str(epoch_id),
             "skipped": False,
-            "rows_applied": stats_row["rows_applied"] or 0,
-            "deletes": stats_row["deletes"] or 0,
-            "min_lsn": stats_row["min_lsn"],
-            "max_lsn": stats_row["max_lsn"],
+            "rows_applied": stats["rows_applied"] or 0,
+            "deletes": stats["deletes"] or 0,
+            "min_lsn": stats["min_lsn"],
+            "max_lsn": stats["max_lsn"],
             "snapshot_id": sid,
             "committed_at": time.time(),
         }
@@ -119,8 +114,8 @@ class CDCApplier:
                         str(epoch_id),
                         int(lineage["rows_applied"]),
                         int(lineage["deletes"]),
-                        int(lineage["min_lsn"]),
-                        int(lineage["max_lsn"]),
+                        int(lineage["min_lsn"]) if lineage["min_lsn"] is not None else None,
+                        int(lineage["max_lsn"]) if lineage["max_lsn"] is not None else None,
                         int(sid),
                     )
                 ],

@@ -105,3 +105,26 @@ def test_udf_sha256_equals_native(spark):
         U.content_sha256_native("content").alias("n"),
     ).collect()
     assert all(r.u == r.n for r in rows)
+
+
+def test_merge_lsn_rejects_stray_buckets(spark):
+    """A caller-supplied `touched` list that misses buckets present in
+    the batch must FAIL the commit (silent-row-loss guard, round-1
+    advice on lake/table.py merge_lsn)."""
+    import pytest
+
+    t = _table(spark, buckets=4)
+    rows = [(f"r{i}", "p", i, False) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, __max_lsn long, __deleted boolean"
+    )
+    t.merge_lsn(df, ["repo", "path"], batch_id="seed")  # touched derived
+    assert t.read().count() == 8
+    update = spark.createDataFrame(
+        [(f"r{i}", "p", 100 + i, False) for i in range(8)],
+        "repo string, path string, __max_lsn long, __deleted boolean",
+    )
+    with pytest.raises(ValueError, match="outside"):
+        t.merge_lsn(update, ["repo", "path"], batch_id="bad", touched=[0])
+    # the failed commit must not have changed the table
+    assert t.read().filter(F.col("__max_lsn") >= 100).count() == 0

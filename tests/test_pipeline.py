@@ -185,3 +185,214 @@ def test_org_grain_matches_by_company(spark):
     edges = pipe.source_matches(mc, sc2, zc)
     got = [(r.src, r.dst) for r in edges.collect()]
     assert ("m:1", "s:cus_1") in got
+
+
+# --- round-2 features ---------------------------------------------------------
+
+
+def _minimal_cleaned(spark, marketo_rows, stripe_rows, alt_m=None, alt_s=None):
+    """Minimal cleaned-layer frames for focused source_matches tests."""
+    mc = spark.createDataFrame(
+        marketo_rows,
+        "lead_id string, email_clean string, full_name_clean string, "
+        "organization_name_no_suffix string, inferred_organization_name_no_suffix string, "
+        "phone_clean string, company_phone_clean string, mobile_phone_clean string, "
+        "address_line_1_long string, billing_address_line_1_long string, "
+        "possible_alt_first_names string, crm_account_id string",
+    )
+    for col in ["lead_city", "billing_city", "lead_state_code", "billing_state_code",
+                "lead_state_long", "billing_state_long", "lead_postal_code",
+                "billing_postal_code", "lead_country_long", "billing_country_long",
+                "lead_country_code", "billing_country_code"]:
+        mc = mc.withColumn(col, F.lit(None).cast("string"))
+    sc = spark.createDataFrame(
+        stripe_rows,
+        "customer_id string, email_clean string, customer_name_clean string, "
+        "shipping_name_clean string, customer_organization_name_no_suffix string, "
+        "shipping_organization_name_no_suffix string, phone_clean string, "
+        "shipping_phone_clean string, customer_possible_alt_first_names string, "
+        "shipping_possible_alt_first_names string, crm_account_id string",
+    )
+    for col in ["customer_address_line_1_long", "shipping_address_line_1_long",
+                "customer_city", "shipping_city", "customer_state_code",
+                "shipping_state_code", "customer_state_long", "shipping_state_long",
+                "customer_postal_code", "shipping_postal_code", "customer_country_long",
+                "shipping_country_long", "customer_country_code", "shipping_country_code"]:
+        sc = sc.withColumn(col, F.lit(None).cast("string"))
+    zc = spark.createDataFrame(
+        [],
+        "user_id long, organization_id long, email_clean string, full_name_clean string, "
+        "organization_name string, organization_name_no_suffix string, phone_clean string, "
+        "phone_extension string, possible_alt_first_names string, is_active boolean, "
+        "is_suspended boolean, updated_at timestamp, created_at timestamp",
+    )
+    return mc, sc, zc
+
+
+def test_internal_match_ids_pair_on_id_only(spark):
+    """S4: rows sharing ONLY an internal match id (no email/phone/name/
+    address overlap) pair when the id is configured, and do not pair
+    when it is not (reference source_matches internal-match-id block)."""
+    from dbt_customer360_spark.config import Customer360Config
+
+    m_rows = [("1", "a@x.com", "alice aardvark", None, None, "15550000001",
+               None, None, None, None, None, "ACCT-7")]
+    s_rows = [("cus_1", "b@y.com", "bob burro", "bob burro", None, None,
+               "15559999999", None, None, None, "ACCT-7")]
+    cfg = Customer360Config(internal_match_ids=["crm_account_id"])
+    pipe = Customer360Pipeline(spark, config=cfg)
+    mc, sc, zc = _minimal_cleaned(spark, m_rows, s_rows)
+    edges = pipe.source_matches(mc, sc, zc)
+    assert [(r.src, r.dst) for r in edges.collect()] == [("m:1", "s:cus_1")]
+
+    plain = Customer360Pipeline(spark)  # no internal ids configured
+    assert plain.source_matches(mc, sc, zc).count() == 0
+
+
+def test_internal_match_id_sentinel_never_matches(spark):
+    """'null_<source>' sentinel ids are nullified before keying."""
+    from dbt_customer360_spark.config import Customer360Config
+
+    m_rows = [("1", "a@x.com", "alice aardvark", None, None, "15550000001",
+               None, None, None, None, None, "null_marketo")]
+    s_rows = [("cus_1", "b@y.com", "bob burro", "bob burro", None, None,
+               "15559999999", None, None, None, "null_marketo")]
+    cfg = Customer360Config(internal_match_ids=["crm_account_id"])
+    pipe = Customer360Pipeline(spark, config=cfg)
+    mc, sc, zc = _minimal_cleaned(spark, m_rows, s_rows)
+    assert pipe.source_matches(mc, sc, zc).count() == 0
+
+
+def test_nickname_alt_name_verifies_match(spark):
+    """'Bob Smith' and 'Robert Smith' share a phone key; levenshtein on
+    the raw names is far below .95, so the pair verifies ONLY via the
+    nickname-canonicalized alt name (round-1 missing item 4/8)."""
+    m_rows = [("1", "a@x.com", "bob smith", None, None, "15550000001",
+               None, None, None, None, "Robert", None)]
+    s_rows = [("cus_1", "b@y.com", "robert smith", None, None, None,
+               "15550000001", None, None, None, None)]
+    pipe = Customer360Pipeline(spark)
+    mc, sc, zc = _minimal_cleaned(spark, m_rows, s_rows)
+    edges = pipe.source_matches(mc, sc, zc)
+    assert [(r.src, r.dst) for r in edges.collect()] == [("m:1", "s:cus_1")]
+
+    # control: without the alt name the same pair fails the verify
+    mc2 = mc.withColumn("possible_alt_first_names", F.lit(None).cast("string"))
+    assert pipe.source_matches(mc2, sc, zc).count() == 0
+
+
+def test_cleaners_collect_alt_first_names(outputs):
+    """All three cleaners expose possible_alt_first_names (reference
+    collects them in marketo/stripe/zendesk cleaning models)."""
+    assert "possible_alt_first_names" in outputs["marketo_clean"].columns
+    assert "customer_possible_alt_first_names" in outputs["stripe_clean"].columns
+    assert "shipping_possible_alt_first_names" in outputs["stripe_clean"].columns
+    assert "possible_alt_first_names" in outputs["zendesk_clean"].columns
+    hit = outputs["zendesk_clean"].filter(
+        F.col("possible_alt_first_names").isNotNull()
+    )
+    assert hit.count() > 0  # fixture names include nickname-seed entries
+
+
+def test_source_gating_disabled_marketo(spark):
+    """customer360__using_marketo=false: pipeline runs end-to-end with
+    an empty marketo branch; no marketo rows appear anywhere."""
+    from dbt_customer360_spark.config import Customer360Config
+
+    cfg = Customer360Config(using_marketo=False)
+    pipe = Customer360Pipeline(spark, config=cfg)
+    out = pipe.run(
+        None,
+        fixtures.stripe_customers(spark, n=40),
+        fixtures.zendesk_users(spark, n=40),
+        fixtures.zendesk_organizations(spark),
+    )
+    emap = out["entity_map"]
+    assert emap.filter(F.col("source") == "marketo").count() == 0
+    assert emap.count() > 0
+    assert out["customer360__summary"].count() > 0
+
+
+def test_zendesk_metrics_weighted_avgs_and_org_rollup(spark):
+    """customer.sql:80-107 weighted averages at customer grain and
+    :262-317 org rollup (sum-of-sums, avg-of-avgs) under header rows."""
+    pipe = Customer360Pipeline(spark)
+    out = pipe.run(
+        fixtures.marketo_leads(spark, n=60),
+        fixtures.stripe_customers(spark, n=60),
+        fixtures.zendesk_users(spark, n=60),
+        fixtures.zendesk_organizations(spark),
+        zendesk_metrics_raw=fixtures.zendesk_ticket_metrics(spark, n=60),
+    )
+    cust = out["customer360__customer"]
+    detail = cust.filter(~F.col("is_organization_header"))
+    headers = cust.filter(F.col("is_organization_header"))
+    assert headers.count() > 0
+    # a single-user entity's weighted avg equals that user's own avg:
+    # p=2 -> zendesk user 1002, created=3, priority=3.0
+    emap = out["entity_map"]
+    cid = (
+        emap.filter((F.col("source") == "zendesk") & (F.col("source_id") == "1002"))
+        .first()
+        .customer360_id
+    )
+    row = detail.filter(F.col("customer360_id") == cid).first()
+    assert row.zendesk_count_created_tickets == 3
+    assert abs(row.zendesk_avg_ticket_priority - 3.0) < 1e-9
+    # org rollup: header sums equal the sum over its member details
+    agg = detail.groupBy("customer360_organization_id").agg(
+        F.sum(F.coalesce("zendesk_count_created_tickets", F.lit(0))).alias("want_created"),
+        F.avg("zendesk_avg_ticket_priority").alias("want_prio"),
+    )
+    joined = headers.join(agg, "customer360_organization_id").collect()
+    assert joined
+    for r in joined:
+        assert r.zendesk_count_created_tickets == r.want_created
+        if r.want_prio is None:
+            assert r.zendesk_avg_ticket_priority is None
+        else:
+            assert abs(r.zendesk_avg_ticket_priority - r.want_prio) < 1e-9
+
+
+def test_address_org_conditional_window(spark):
+    """W5 in the pipeline: header-grain rows rank within their
+    ORGANIZATION, detail rows within their customer360_id
+    (customer360__address.sql:190-211 conditional partition key)."""
+    pipe = Customer360Pipeline(spark)
+    part = spark.createDataFrame(
+        [
+            ("c1", "org1", False, "1 A St", "x", None, None),
+            ("c2", "org1", False, "2 B St", "x", None, None),
+            ("h1", "org1", True, "3 C St", "x", None, None),
+            ("h2", "org1", True, "3 C St", "x", None, None),
+            ("h3", "org1", True, "4 D St", "x", None, None),
+        ],
+        "customer360_id string, customer360_organization_id string, "
+        "is_organization_header boolean, address_line_1 string, source string, "
+        "updated_at timestamp, created_at timestamp",
+    )
+    ranked = pipe._ranked_attribute(
+        [part], ["address_line_1"], org_conditional_key=True
+    ).collect()
+    by_id = {}
+    for r in ranked:
+        by_id.setdefault(r.customer360_id, []).append(r["index"])
+    # detail rows each rank within their own id
+    assert by_id["c1"] == [1] and by_id["c2"] == [1]
+    # header rows rank within org1 together: indexes 1..3 across h1-h3
+    assert sorted(by_id["h1"] + by_id["h2"] + by_id["h3"]) == [1, 2, 3]
+
+
+def test_golden_multi_column_tiebreak_deterministic(spark):
+    """Same phone, different extensions: index must be decided by the
+    secondary column, identically for any input ordering."""
+    from dbt_customer360_spark.operators import golden
+
+    rows = [("e1", "555", "9"), ("e1", "555", "2"), ("e1", "555", "5")]
+    ddl = "entity string, phone string, extension string"
+    a = spark.createDataFrame(rows, ddl)
+    b = spark.createDataFrame(list(reversed(rows)), ddl).repartition(3)
+    def run(df):
+        out = golden.rank_values(df, "entity", "phone", tie_break_cols=["extension"])
+        return {(r.extension): r["index"] for r in out.collect()}
+    assert run(a) == run(b) == {"2": 1, "5": 2, "9": 3}

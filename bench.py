@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "connected_components_chain",
     "lsn_dedup_events",
     "golden_event_type",
+    "customer_metrics_rollup",
     "exact_dedup_docs",
     "minhash_lsh_dedup",
     "simhash_near_dups",
@@ -70,7 +71,7 @@ def main() -> None:
     events.count()  # materialize generator outside the timed window
     root = tempfile.mkdtemp(prefix="bench_cdc_")
     t0 = time.time()
-    applier = CDCApplier(spark, f"{root}/repos", buckets=32)
+    applier = CDCApplier(spark, f"{root}/repos", buckets=32, assume_dense_batches=True)
     replay_batch(applier, events, n_batches=4)
     cdc_sec = time.time() - t0
     results["cdc_replay"] = round(cdc_sec, 3)

@@ -863,11 +863,18 @@ def _duck_grams(n: int, distinct: bool) -> str:
 _MINHASH_ORACLE = f"""
     with toks as ({_DUCK_TOKS}),
     grams as ({_duck_grams(5, False)}),
+    hcs as (
+      select doc_id,
+             list_transform(g, s -> struct_pack(
+               c0 := ('0x' || substr(md5(s), 1, 8))::ubigint,
+               c1 := ('0x' || substr(md5(s), 9, 8))::ubigint)) as hs
+      from grams),
     sig as (
       select doc_id,
              list_transform(generate_series(0, 31),
-               i -> list_min(list_transform(g, s -> md5(cast(i as varchar) || ':' || s)))) as sig
-      from grams),
+               i -> list_min(list_transform(hs,
+                 h -> (h.c0 + (2 * h.c1 + 1) * i) % 4294967296))) as sig
+      from hcs),
     banded as (
       select doc_id, sig, bands.band as band,
              md5(array_to_string(sig[bands.band*4+1 : bands.band*4+4], ',')) as bucket
@@ -1178,13 +1185,21 @@ def multimodal_features(spark, sf):
     )
 
 
-@query("customer360_pipeline")  # stateful multi-stage pipeline -> rows-only check
+from dbt_customer360_spark.plans import pipeline_oracle as _PO  # noqa: E402
+
+
+@query("customer360_pipeline", _PO.render())
 def customer360_pipeline(spark, sf):
     """End-to-end reference-analog pipeline (cleaning -> union-of-equi-
     join matching -> connected components -> golden records) over the
-    deterministic customer-360 fixtures; returns the summary table
-    (customer360__summary analog). The sf_dir is unused — the fixture
-    generator is the pipeline's own deterministic source."""
+    deterministic customer-360 fixtures; returns the summary's identity
+    + golden-contact projection. The ORACLE is a full DuckDB
+    transliteration of the pipeline (plans/pipeline_oracle.py):
+    fixtures synthesized in SQL, cleaning via the shared *_sql twins,
+    OR-join matching + levenshtein verify, recursive-CTE connected
+    components, window-ranked goldens — so the flagship pipeline is
+    hash-checked end to end, not rows-only. The sf_dir is unused — the
+    fixture generator is the pipeline's own deterministic source."""
     from dbt_customer360_spark import fixtures
     from dbt_customer360_spark.pipeline import Customer360Pipeline
 
@@ -1196,7 +1211,14 @@ def customer360_pipeline(spark, sf):
         fixtures.zendesk_organizations(spark),
         zendesk_metrics_raw=fixtures.zendesk_ticket_metrics(spark),
     )
-    return out["customer360__summary"]
+    return out["customer360__summary"].select(
+        "customer360_id",
+        "is_organization_header",
+        "email",
+        "phone",
+        "extension",
+        "full_name",
+    )
 
 
 # =============================================================================

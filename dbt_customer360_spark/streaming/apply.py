@@ -41,9 +41,19 @@ class CDCApplier:
         table_root: str,
         lineage_root: str | None = None,
         buckets: int = 16,
+        assume_dense_batches: bool = False,
     ):
+        """``assume_dense_batches``: declare that every micro-batch
+        touches (essentially) every hash bucket — true for high-volume
+        streams whose batch key count >> bucket count. Skips the
+        per-batch touched-bucket discovery scan; the merge then reads
+        every target bucket, which it would have done anyway for a
+        dense batch (merge_lsn's stray-bucket guard still holds: the
+        declared set is the full bucket range). Leave False for sparse/
+        trickle streams where bucket pruning pays."""
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
+        self.assume_dense_batches = assume_dense_batches
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
         )
@@ -94,6 +104,7 @@ class CDCApplier:
             KEYS,
             lsn_col="__max_lsn",
             batch_id=batch_id,
+            touched=list(range(self.table.buckets)) if self.assume_dense_batches else None,
         )
         stats = obs.get  # blocks until the merge's first action finishes
 

@@ -162,3 +162,20 @@ def test_ivf_topk_reasonable_recall(spark):
         for r in similarity.ivf_topk(df, q, dim=8, k=5, n_centroids=4, n_probe=2).collect()
     }
     assert approx == again
+
+
+def test_minhash_md5_arrow_equals_jvm_twin(spark):
+    """The Arrow md5-family signature and the pure-JVM fold must agree
+    bit-for-bit (same contract as the simhash twin test)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    a = df.select("id", dedup.minhash_signature(F.col("t"), 16, 3, "md5").alias("s"))
+    b = df.select("id", dedup.minhash_md5_expr(F.col("t"), 16, 3).alias("s"))
+    got_a = {r.id: r.s for r in a.collect()}
+    got_b = {r.id: r.s for r in b.collect()}
+    assert got_a == got_b

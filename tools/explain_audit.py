@@ -20,7 +20,11 @@ AUDIT = [
     "lsn_dedup_events",
     "golden_event_type",
     "minhash_lsh_dedup",
+    "simhash_near_dups",
+    "ngram_jaccard_dedup",
+    "customer_metrics_rollup",
     "ann_bruteforce",
+    "ann_lsh",
     "emb_cosine_dedup",
 ]
 

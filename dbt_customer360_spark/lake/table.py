@@ -233,6 +233,7 @@ class LakeTable:
         lsn_col: str = "__max_lsn",
         batch_id: str | None = None,
         touched: list[int] | None = None,
+        salt: int | None = None,
     ) -> int:
         """Last-writer-wins MERGE: one aggregation replaces batch-dedup,
         high-watermark filtering, and the upsert in a single pass.
@@ -242,11 +243,23 @@ class LakeTable:
         duplicates, stale replays (lower LSN than the stored watermark),
         and the upsert itself are all decided by one comparator. Because
         it is a hash aggregation, Spark applies map-side partial
-        aggregation: hot keys combine locally before the shuffle, which
-        is the two-phase/salting behavior the north_star asks for
-        without manual salt columns. Ties (same LSN, e.g. exact replay
-        under a new epoch) go to the target row, keeping replays
-        byte-stable.
+        aggregation: hot keys combine locally before the shuffle. Ties
+        (same LSN, e.g. exact replay under a new epoch) go to the
+        target row, keeping replays byte-stable.
+
+        ``salt``: explicit two-phase salted reduce for pathological hot
+        keys (north_star: "skewed hot repos are split via key salting
+        with a two-phase merge"). Phase 1 groups by (keys, salt) where
+        salt = pmod(xxhash64(lsn), salt) — a hot key's rows split
+        across ``salt`` reducers and collapse to at most ``salt``
+        candidates; phase 2 reduces those per key. Identical result to
+        the unsalted plan (max_by is associative/commutative across
+        disjoint row sets; ties on LSN are impossible within a key and
+        the target-preference bit rides the comparator into phase 2);
+        the per-key shuffle weight drops from #rows to ``salt``. The
+        default (None) relies on map-side partial aggregation + AQE
+        skew handling, which is the right call when keys are merely
+        warm; reach for salt when one key dominates whole partitions.
         """
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
@@ -277,11 +290,27 @@ class LakeTable:
             unioned = batch_side
         row = F.struct(*[F.col(c) for c in cols])
         order = F.struct(F.col(lsn_col), F.col("__is_target"))
-        merged = (
-            unioned.groupBy(*[F.col(k) for k in keys])
-            .agg(F.max_by(row, order).alias("__w"))
-            .select("__w.*")
-        )
+        if salt and salt > 1:
+            # phase 1: per-(key, salt) partial winners — hot keys fan
+            # out over `salt` reducers
+            salt_col = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt))
+            phase1 = (
+                unioned.withColumn("__salt", salt_col)
+                .groupBy(*[F.col(k) for k in keys], F.col("__salt"))
+                .agg(F.max_by(row, order).alias("__w"), F.max(order).alias("__o"))
+            )
+            # phase 2: collapse the <= salt candidates per key
+            merged = (
+                phase1.groupBy(*[F.col(k) for k in keys])
+                .agg(F.max_by(F.col("__w"), F.col("__o")).alias("__w"))
+                .select("__w.*")
+            )
+        else:
+            merged = (
+                unioned.groupBy(*[F.col(k) for k in keys])
+                .agg(F.max_by(row, order).alias("__w"))
+                .select("__w.*")
+            )
         new_files = self._write_bucket_files(merged, keys)
         # guard against a caller-supplied `touched` that misses buckets
         # actually present in the batch: those buckets' target rows were
@@ -335,6 +364,36 @@ class LakeTable:
         m["files"] = self._write_bucket_files(df, keys)
         m["keys"] = keys
         return self._commit(m)
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Iceberg-style snapshot expiry: drop all but the newest
+        ``keep_last`` manifests and physically remove data directories
+        no kept snapshot references (the vacuum that bounds storage
+        under copy-on-write churn — every merge rewrites touched
+        buckets into fresh files and strands the old ones).
+
+        Returns the removed top-level data dirs. Time travel remains
+        available for the kept snapshots only; committed batch_ids are
+        carried in every manifest, so exactly-once replay protection
+        survives expiry."""
+        ids = self._snapshot_ids()
+        keep = set(ids[-keep_last:]) if keep_last > 0 else set(ids)
+        referenced: set[str] = set()
+        for sid in keep:
+            m = self._read_manifest(sid)
+            for paths in m["files"].values():
+                for p in paths:
+                    referenced.add(p.split("/")[0])
+        for sid in ids:
+            if sid not in keep:
+                os.remove(os.path.join(self.root, "snapshots", f"{sid}.json"))
+        removed = []
+        data_dir = os.path.join(self.root, "data")
+        for entry in sorted(os.listdir(data_dir)):
+            if entry not in referenced:
+                shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
+                removed.append(entry)
+        return removed
 
     # --- schema evolution ----------------------------------------------------------
 

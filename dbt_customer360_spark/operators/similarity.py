@@ -191,6 +191,126 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_centroids_shared(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Lloyd k-means whose every step is reproducible in
+    any SQL engine (the DuckDB oracle replays it):
+
+    - init: the k corpus vectors with the smallest
+      (uint60(md5('ivf{seed}:' || vec_id)), vec_id) — md5 instead of
+      xxhash64, truncated to 15 hex digits so the value fits a BIGINT
+      on engines without unsigned 64-bit;
+    - assignment: min_by over (squared distance, centroid_id);
+    - update: per-dimension mean computed as an EXACT decimal sum,
+      one double division, rounded to 9 dp — so both engines hold
+      bit-identical centroids between iterations (a raw double avg
+      would drift with summation order).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"ivf{seed}:"), F.col("vec_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    base = corpus.select(
+        F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), h.alias("h")
+    )
+    init = base.orderBy("h", "vec_id").limit(k)
+    centroids = F.broadcast(
+        init.select(
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("centroid_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    pts = base.select("vec_id", "v")
+    dec = "decimal(28,14)"
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            pts.crossJoin(centroids)
+            .withColumn("d", dist)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("v", "centroid_id"), F.struct(F.col("d"), F.col("centroid_id"))
+                ).alias("__w")
+            )
+            .select(F.col("__w.v").alias("v"), F.col("__w.centroid_id").alias("centroid_id"))
+        )
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                F.round(
+                    F.sum(F.element_at("v", i + 1).cast(dec)).cast("double") / F.count("*"), 9
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        centroids = F.broadcast(
+            means.select(
+                "centroid_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def ivf_topk_shared(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over :func:`kmeans_centroids_shared` cells — the
+    oracle-checked variant of :func:`ivf_topk` (same plan shape:
+    min_by corpus assignment, window-probed queries, per-cell exact
+    cosine, per-query rank)."""
+    cents = kmeans_centroids_shared(corpus, dim, k=n_centroids, seed=seed, vec_col=vec_col)
+    dist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    c = (
+        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .crossJoin(cents)
+        .withColumn("d", dist)
+        .groupBy("neighbor_id")
+        .agg(
+            F.min_by(F.struct("__v", "centroid_id"), F.struct(F.col("d"), F.col("centroid_id"))).alias("__w")
+        )
+        .select("neighbor_id", F.col("__w.__v").alias("c_vec"), F.col("__w.centroid_id").alias("centroid_id"))
+    )
+    qw = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    q = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .crossJoin(cents)
+        .withColumn("d", dist)
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("__v").alias("q_vec"), "centroid_id")
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1030,6 +1030,82 @@ def ann_lsh(spark, sf):
     )
 
 
+def _ann_ivf_oracle(dim: int = 64, k_cent: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+    """DuckDB replay of kmeans_centroids_shared + ivf_topk_shared: the
+    md5-seeded init, ``iters`` unrolled Lloyd steps with decimal-exact
+    9dp-rounded means, corpus argmin assignment, query cell probes,
+    per-cell cosine rank."""
+    sqdist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "d -> (p.v[d] - c.cv[d]) * (p.v[d] - c.cv[d])))".format(dim=dim)
+    )
+
+    def assign(out: str, cent: str, keep: int, id_filter: str = "") -> str:
+        return f"""
+    {out} as (
+      select vec_id, v, cid from (
+        select p.vec_id, p.v, c.cid,
+               row_number() over (partition by p.vec_id
+                 order by {sqdist} asc, c.cid asc) as rn
+        from pts p cross join {cent} c {id_filter}) where rn <= {keep})"""
+
+    def update(out: str, assigned: str) -> str:
+        return f"""
+    {out} as (
+      select cid, list(cx order by d) as cv from (
+        select cid, d,
+               round(cast(sum(cast(v[d] as decimal(28,14))) as double) / count(*), 9) as cx
+        from {assigned} cross join (select unnest(generate_series(1, {dim})) as d) dims
+        group by cid, d) group by cid)"""
+
+    steps = []
+    cent = "cent0"
+    for it in range(iters):
+        steps.append(assign(f"assign{it}", cent, 1))
+        steps.append(update(f"cent{it + 1}", f"assign{it}"))
+        cent = f"cent{it + 1}"
+    return f"""
+    with pts as (
+      select vec_id, cast(embedding as double[]) as v,
+             ('0x' || substr(md5('ivf42:' || cast(vec_id as varchar)), 1, 15))::ubigint as h
+      from embeddings),
+    cent0 as (
+      select row_number() over (order by h, vec_id) - 1 as cid, v as cv
+      from (select * from pts order by h, vec_id limit {k_cent})),
+    {",".join(steps)},
+    corpus_cells as (select vec_id as neighbor_id, v as c_vec, cid from (
+      select vec_id, v, cid from (
+        select p.vec_id, p.v, c.cid,
+               row_number() over (partition by p.vec_id order by {sqdist} asc, c.cid asc) as rn
+        from pts p cross join {cent} c) where rn = 1)),
+    query_cells as (select vec_id as query_id, v as q_vec, cid from (
+        select p.vec_id, p.v, c.cid,
+               row_number() over (partition by p.vec_id order by {sqdist} asc, c.cid asc) as rn
+        from pts p cross join {cent} c where p.vec_id < 8) where rn <= {n_probe})
+    select query_id, neighbor_id, rank from (
+      select q.query_id, c.neighbor_id,
+             row_number() over (partition by q.query_id
+               order by list_cosine_similarity(q.q_vec, c.c_vec) desc,
+                        c.neighbor_id asc) as rank
+      from corpus_cells c join query_cells q using (cid)
+      where c.neighbor_id <> q.query_id)
+    where rank <= 5
+    """
+
+
+@query("ann_ivf", _ann_ivf_oracle())
+def ann_ivf(spark, sf):
+    """IVF (k-means inverted file) approximate top-k — the third
+    similarity-search path (brute-force baseline, sign-LSH, IVF), all
+    three oracle-checked. Deterministic shared k-means (md5 init,
+    decimal-exact means) so DuckDB replays clustering + probing."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk_shared(e, q, dim=64, k=5, n_centroids=8, n_probe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 _QUALITY_ORACLE = """
     with base as (
       select doc_id, text, length(text) as n_chars,

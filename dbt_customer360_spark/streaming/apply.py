@@ -42,6 +42,7 @@ class CDCApplier:
         lineage_root: str | None = None,
         buckets: int = 16,
         assume_dense_batches: bool = False,
+        hot_key_salt: int | None = None,
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -50,10 +51,15 @@ class CDCApplier:
         every target bucket, which it would have done anyway for a
         dense batch (merge_lsn's stray-bucket guard still holds: the
         declared set is the full bucket range). Leave False for sparse/
-        trickle streams where bucket pruning pays."""
+        trickle streams where bucket pruning pays.
+
+        ``hot_key_salt``: explicit two-phase salted merge (see
+        LakeTable.merge_lsn) for streams where one (repo, path)
+        dominates whole micro-batches."""
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
         self.assume_dense_batches = assume_dense_batches
+        self.hot_key_salt = hot_key_salt
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
         )
@@ -105,6 +111,7 @@ class CDCApplier:
             lsn_col="__max_lsn",
             batch_id=batch_id,
             touched=list(range(self.table.buckets)) if self.assume_dense_batches else None,
+            salt=self.hot_key_salt,
         )
         stats = obs.get  # blocks until the merge's first action finishes
 

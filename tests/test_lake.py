@@ -128,3 +128,52 @@ def test_merge_lsn_rejects_stray_buckets(spark):
         t.merge_lsn(update, ["repo", "path"], batch_id="bad", touched=[0])
     # the failed commit must not have changed the table
     assert t.read().filter(F.col("__max_lsn") >= 100).count() == 0
+
+
+def test_salted_merge_identical_to_unsalted_on_skew(spark):
+    """Explicit two-phase salted merge (north_star hot-repo salting):
+    byte-identical final state to the unsalted plan on a stream where
+    one key carries half the events."""
+    import pyspark.sql.functions as SF
+
+    n = 20000
+    df = spark.range(n).select(
+        SF.when(SF.col("id") % 2 == 0, SF.lit("hot")).otherwise(
+            SF.concat(SF.lit("r"), (SF.col("id") % 97).cast("string"))
+        ).alias("repo"),
+        SF.lit("p").alias("path"),
+        SF.col("id").alias("__max_lsn"),
+        (SF.col("id") % 13 == 0).alias("__deleted"),
+        SF.sha2(SF.col("id").cast("string"), 256).alias("content"),
+    )
+    plain = _table(spark, buckets=4)
+    salted = _table(spark, buckets=4)
+    plain.merge_lsn(df, ["repo", "path"], batch_id="b0")
+    salted.merge_lsn(df, ["repo", "path"], batch_id="b0", salt=8)
+    a = sorted(map(tuple, plain.read().collect()))
+    b = sorted(map(tuple, salted.read().collect()))
+    assert a == b and len(a) > 0
+
+
+def test_expire_snapshots_vacuums_unreferenced_files(spark):
+    import os
+
+    t = _table(spark, buckets=2)
+    for i in range(4):
+        df = spark.createDataFrame(
+            [("r", f"p{j}", i * 10 + j) for j in range(4)], "repo string, path string, v int"
+        )
+        t.merge(df, ["repo", "path"], batch_id=f"b{i}")
+    before = set(os.listdir(os.path.join(t.root, "data")))
+    expected = {(r.repo, r.path): r.v for r in t.read().collect()}
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed and set(removed) <= before
+    # live state unchanged, old snapshots gone, idempotence preserved
+    assert {(r.repo, r.path): r.v for r in t.read().collect()} == expected
+    assert t._snapshot_ids() == [t.current_snapshot_id()]
+    assert "b3" in t.committed_batch_ids()
+    s = t.merge(
+        spark.createDataFrame([("r", "p0", 99)], "repo string, path string, v int"),
+        ["repo", "path"], batch_id="b3",
+    )
+    assert s == t.current_snapshot_id()  # replay of b3 is still a no-op

@@ -1,0 +1,98 @@
+"""Watermarked windowed aggregation + applyInPandasWithState operator.
+
+Late-data semantics are exercised with a real two-trigger file stream:
+trigger 1 advances the event-time watermark, trigger 2 delivers a
+late event that must be DROPPED and a stale LSN that must be
+suppressed by the stateful high-watermark filter.
+"""
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.streaming import stateful
+
+EVENT_DDL = "repo string, path string, lsn long, op string, content string, ts timestamp"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_DDL).coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)  # distinct mtimes -> deterministic trigger order
+
+
+def _ts(minute, second=0):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def _run_two_trigger_stream(spark, src, build_query, sink_name):
+    reader = spark.readStream.schema(EVENT_DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        build_query(reader)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {sink_name}")
+
+
+def test_windowed_counts_drop_late_events(spark):
+    src = tempfile.mkdtemp(prefix="stream_win_")
+    # trigger 1: two events in the 10:00 window, one at 10:05 that
+    # pushes the watermark to 10:03 (lateness = 2 minutes)
+    _write_batch(spark, src, [
+        ("r1", "a", 1, "update", "c1", _ts(0, 10)),
+        ("r1", "b", 2, "update", "c2", _ts(0, 20)),
+        ("r1", "c", 3, "update", "c3", _ts(5, 0)),
+    ])
+    # trigger 2: the 10:00 window (end 10:01 < watermark 10:03) is
+    # finalized and its state evicted during this batch
+    _write_batch(spark, src, [
+        ("r1", "x", 9, "update", "cx", _ts(6, 0)),
+    ])
+    # trigger 3: a LATE event for the already-finalized 10:00 window —
+    # guaranteed dropped (window end is below the watermark and the
+    # state is gone); plus a fresh event far ahead
+    _write_batch(spark, src, [
+        ("r1", "d", 4, "update", "c4", _ts(0, 30)),
+        ("r1", "e", 5, "delete", None, _ts(9, 0)),
+    ])
+    out = _run_two_trigger_stream(
+        spark, src, lambda df: stateful.windowed_change_counts(df), "win_counts"
+    )
+    rows = {r.window_start.minute: r.n_changes for r in out.collect()}
+    assert rows.get(0) == 2  # late 10:00:30 event was dropped
+
+
+def test_stateful_lsn_filter_suppresses_stale_replays(spark):
+    src = tempfile.mkdtemp(prefix="stream_lsn_")
+    _write_batch(spark, src, [
+        ("r1", "p", 1, "insert", "v1", _ts(0)),
+        ("r1", "p", 3, "update", "v3", _ts(1)),
+        ("r1", "p", 3, "update", "v3", _ts(1)),  # in-batch duplicate
+        ("r1", "p", 2, "update", "v2", _ts(2)),
+    ])
+    _write_batch(spark, src, [
+        ("r1", "p", 2, "update", "v2-stale", _ts(3)),  # stale replay
+        ("r1", "p", 3, "update", "v3-stale", _ts(3)),  # equal -> stale
+        ("r1", "p", 5, "update", "v5", _ts(4)),
+        ("r2", "q", 1, "insert", "w1", _ts(4)),
+    ])
+    out = _run_two_trigger_stream(
+        spark, src, lambda df: stateful.stateful_lsn_filter(df), "lsn_filtered"
+    )
+    got = {(r.repo, r.path, r.lsn): r.content for r in out.collect()}
+    # batch 1 emits the in-order advancing prefix 1,2,3 (sorted within
+    # the batch); batch 2 only the genuinely new lsn 5 + the new key
+    assert set(got) == {
+        ("r1", "p", 1), ("r1", "p", 2), ("r1", "p", 3), ("r1", "p", 5), ("r2", "q", 1),
+    }
+    assert got[("r1", "p", 5)] == "v5"
+    assert got[("r1", "p", 3)] == "v3"  # not the stale replay's payload

@@ -4,11 +4,13 @@
   batch dedup mandated by the north_star ("row_number window over
   max-LSN", BASELINE.json:6).
 - ``exact_dedup``: exact duplicate removal by content hash.
-- ``minhash_lsh_pairs`` / ``simhash_buckets`` / ``ngram_jaccard_pairs``:
-  near-duplicate detection for training-data pipelines. All are pure
-  DataFrame compositions (shingle -> hash -> band -> self-join on
-  band buckets), no Python in the row path except vectorized hashing
-  via built-in xxhash64/sha2.
+- ``minhash_lsh_pairs`` / ``simhash_near_dups`` / ``ngram_jaccard_pairs``:
+  near-duplicate detection for training-data pipelines. Candidate
+  generation is always a bucketed equi-join (shingle -> signature ->
+  band -> bucket), never a cartesian. Signatures come in two hash
+  families: 'xxhash64' (pure JVM) and 'md5' (Arrow pandas UDF with a
+  pinned-equivalent JVM twin) — the md5 family is bit-reproducible in
+  DuckDB, which is how the roster queries get independent oracles.
 
 Scale notes: LSH candidate generation self-joins on (band, signature)
 buckets — an equi-join, shuffle-partitioned by bucket key, never a

@@ -82,6 +82,7 @@ def _alt_full_name(name_col: str, alts_col: str) -> F.Column:
     alt-name verify path ('Bob Smith' ~ 'Robert Smith')."""
     first_alt = F.split_part(F.col(alts_col), F.lit(","), F.lit(1))
     rest = F.array_join(F.slice(F.split(F.trim(F.col(name_col)), r"\s+"), 2, 1000), " ")
+    rest = F.when(rest != "", rest)  # concat_ws skips NULL but keeps ''
     return F.when(
         F.col(alts_col).isNotNull() & (F.col(alts_col) != "") & F.col(name_col).isNotNull(),
         F.lower(F.concat_ws(" ", first_alt, rest)),

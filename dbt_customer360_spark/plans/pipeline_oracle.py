@@ -88,7 +88,7 @@ def _ts(shift: int) -> str:
 def _alt_name(name_col: str, alts_col: str) -> str:
     """pipeline._alt_full_name transliteration."""
     first_alt = f"split_part({alts_col}, ',', 1)"
-    rest = f"array_to_string(str_split_regex(trim({name_col}), '\\s+')[2:], ' ')"
+    rest = f"nullif(array_to_string(str_split_regex(trim({name_col}), '\\s+')[2:], ' '), '')"
     return (
         f"(case when {alts_col} is not null and {alts_col} <> '' and {name_col} is not null "
         f"then lower(concat_ws(' ', {first_alt}, {rest})) end)"

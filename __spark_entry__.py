@@ -3,9 +3,10 @@
 ``queries()``/``oracle_sql()`` are built from
 ``dbt_customer360_spark.plans.queries`` — one entry per implemented
 operator family from SURVEY.md §2, each Spark implementation paired
-with a DuckDB oracle (same aliases both sides). Queries without an
-oracle entry are hash-function-specific (minhash/simhash/xxhash
-fingerprints, LSH buckets) and get the driver's rows-only check.
+with a DuckDB oracle (same aliases both sides). EVERY roster query
+has an oracle — the hash-family operators use md5-derived families
+DuckDB replays bit-exactly, and the end-to-end pipeline's oracle is a
+full SQL transliteration (plans/pipeline_oracle.py).
 """
 
 from __future__ import annotations

@@ -41,13 +41,28 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--hot-key-salt", type=int, default=None,
+        help="two-phase salted merge width for streams with one dominant key",
+    )
+    ap.add_argument(
+        "--dense-batches", action="store_true",
+        help="batches touch every bucket: skip the touched-bucket discovery scan",
+    )
     args = ap.parse_args(argv)
 
     from dbt_customer360_spark.session import get_spark
     from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
 
     spark = get_spark(app="cdc-replay")
-    applier = CDCApplier(spark, args.table, args.lineage, buckets=args.buckets)
+    applier = CDCApplier(
+        spark,
+        args.table,
+        args.lineage,
+        buckets=args.buckets,
+        assume_dense_batches=args.dense_batches,
+        hot_key_salt=args.hot_key_salt,
+    )
 
     t0 = time.time()
     if args.mode == "stream":

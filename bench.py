@@ -54,6 +54,12 @@ def main() -> None:
     spark = get_spark(app="bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed session warm-up (JVM/codegen/file-index) so the first
+    # timed query doesn't absorb ~4s of one-time startup cost
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

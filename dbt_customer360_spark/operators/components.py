@@ -17,7 +17,7 @@ jobs, never driver-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -45,38 +45,38 @@ def connected_components(
         .withColumn("component", F.least("node", "component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor-min: each node pulls the smallest component label
-        # among itself and its neighbors' current labels
+        # among itself and its neighbors' current labels. The change
+        # count rides the SAME job as an Observation — one action per
+        # round, not a separate comparison join (round-1 perf note).
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), on="b")
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
             .select(F.col("a").alias("node"), "nbr_component")
         )
+        obs = Observation(f"cc-prop-{it}")
         new_labels = (
             labels.join(nbr, on="node", how="left")
             .select(
                 "node",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
+            .observe(obs, F.sum((F.col("component") != F.col("__old")).cast("long")).alias("changed"))
+            .drop("__old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     # one more pass: path-compress labels through the label table itself
     # (label of my label), so chains settle to the true minimum
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        obs = Observation(f"cc-compress-{it}")
         compressed = (
             labels.alias("l")
             .join(
@@ -86,17 +86,16 @@ def connected_components(
                 on="component",
                 how="left",
             )
-            .select("node", F.least(F.coalesce("root", "component"), F.col("component")).alias("component"))
+            .select(
+                "node",
+                F.col("component").alias("__old"),
+                F.least(F.coalesce("root", "component"), F.col("component")).alias("component"),
+            )
+            .observe(obs, F.sum((F.col("component") != F.col("__old")).cast("long")).alias("changed"))
+            .drop("__old")
             .localCheckpoint()
         )
-        changed = (
-            compressed.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = compressed
-        if changed == 0:
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels

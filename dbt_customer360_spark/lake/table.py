@@ -365,6 +365,24 @@ class LakeTable:
         m["keys"] = keys
         return self._commit(m)
 
+    def maybe_compact(
+        self,
+        max_files_per_bucket: int = 8,
+        keys: list[str] | None = None,
+        drop_tombstones_col: str | None = None,
+    ) -> int | None:
+        """Cost-gated auto-compaction: rewrite only when some bucket has
+        accumulated more than ``max_files_per_bucket`` files (append
+        churn / lineage tables). Returns the new snapshot id, or None
+        when the layout is already tight — the maintenance hook a
+        streaming job calls every N epochs without paying a rewrite
+        each time."""
+        m = self._read_manifest()
+        worst = max((len(paths) for paths in m["files"].values()), default=0)
+        if worst <= max_files_per_bucket:
+            return None
+        return self.compact(keys=keys, drop_tombstones_col=drop_tombstones_col)
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Iceberg-style snapshot expiry: drop all but the newest
         ``keep_last`` manifests and physically remove data directories

@@ -90,6 +90,51 @@ def extract_features(df: DataFrame, dim: int = 8, batch_rows: int = 256) -> Data
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "asset_id string, modality string, media binary, width int, height int"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int = 32, target_h: int = 32, batch_rows: int = 256
+) -> DataFrame:
+    """Image-resize plumbing over ``mapInPandas``: Arrow-batched binary
+    in, binary out, metadata updated. The pixel work is the stubbed
+    codec (deterministic fake: sha256-stream of the source bytes sized
+    w*h, so downstream schema/partitioning/row-size behavior is real
+    and testable); a production build drops PIL/torchvision into
+    ``DecodeBackend`` without touching the Spark plumbing."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bytes = target_w * target_h
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = []
+                for b in chunk["media"].to_numpy():
+                    if b is None:
+                        out.append(None)
+                        continue
+                    buf = b""
+                    seed = bytes(b)
+                    while len(buf) < n_bytes:
+                        seed = hashlib.sha256(seed).digest()
+                        buf += seed
+                    out.append(buf[:n_bytes])
+                yield pd.DataFrame(
+                    {
+                        "asset_id": chunk["asset_id"],
+                        "modality": chunk["modality"],
+                        "media": out,
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+
+    return df.filter(F.col("modality") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per requested frame via
     sequence+explode (pure relational; the decode itself is stubbed)."""

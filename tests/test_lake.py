@@ -177,3 +177,17 @@ def test_expire_snapshots_vacuums_unreferenced_files(spark):
         ["repo", "path"], batch_id="b3",
     )
     assert s == t.current_snapshot_id()  # replay of b3 is still a no-op
+
+
+def test_maybe_compact_is_cost_gated(spark):
+    t = _table(spark, buckets=1)
+    df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
+    t.overwrite(df, ["repo", "path"])
+    assert t.maybe_compact(max_files_per_bucket=4) is None  # tight layout: no-op
+    for i in range(6):
+        t.append(spark.createDataFrame([("r", f"a{i}", i)], "repo string, path string, v int"))
+    sid = t.maybe_compact(max_files_per_bucket=4)
+    assert sid is not None and t.read().count() == 7
+    import os
+    m = t._read_manifest()
+    assert max(len(p) for p in m["files"].values()) == 1  # merged small files

@@ -179,3 +179,13 @@ def test_minhash_md5_arrow_equals_jvm_twin(spark):
     got_a = {r.id: r.s for r in a.collect()}
     got_b = {r.id: r.s for r in b.collect()}
     assert got_a == got_b
+
+
+def test_multimodal_resize_plumbing(spark):
+    media = multimodal.synth_media(spark, n=24)
+    out = multimodal.resize_images(media, target_w=8, target_h=4).collect()
+    assert out and all(r.modality == "image" for r in out)
+    assert all(len(r.media) == 32 and r.width == 8 and r.height == 4 for r in out)
+    # deterministic: same input -> same resized bytes
+    again = {r.asset_id: bytes(r.media) for r in multimodal.resize_images(media, 8, 4).collect()}
+    assert {r.asset_id: bytes(r.media) for r in out} == again

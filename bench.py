@@ -7,6 +7,12 @@ Runs a representative subset of the query roster at
 
 Each query is fully materialized via the noop sink so Catalyst can't
 prune work a count() would skip.
+
+The host is time-shared and swings 2x minute-to-minute, so each query
+is timed ``$SPARK_GRAFT_BENCH_REPS`` (default 3) times INTERLEAVED —
+full roster pass 1, pass 2, ... — and the per-query minimum is
+reported; a slow host minute then degrades one pass, not one query's
+number (round-2 verdict Next #6).
 """
 
 from __future__ import annotations
@@ -60,12 +66,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     results: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in results or dt < results[name]:
+                results[name] = dt
 
     # CDC replay throughput: generated stream -> 4 micro-batches -> MERGE
     from dbt_customer360_spark.sources.cdc import generate_change_events
@@ -95,6 +105,7 @@ def main() -> None:
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "cdc_events_per_sec": round(events_per_sec, 1),
                 "cpus": cpus,
+                "reps": reps,
             }
         )
     )

@@ -27,6 +27,10 @@ class Customer360Config:
     # columns expected on every cleaned source (pre-sentineled)
     internal_match_ids: list[str] = field(default_factory=list)
     fuzzy_threshold: float = 0.95
+    # lineage-cut backend: None = localCheckpoint (executor-local RDD
+    # blocks, fine single-JVM); a path = reliable df.checkpoint() so a
+    # lost executor cannot sink the run on a real cluster (README §100TB)
+    checkpoint_dir: str | None = None
 
     def highest_common_grain(self) -> str:
         for source in SOURCES:

@@ -10,9 +10,13 @@ Algorithm: iterative min-label propagation (a DataFrame form of
 large-star/small-star). Each round every node adopts the minimum
 label in its neighborhood; converges in O(log n) rounds on typical
 match graphs (short chains). Each round is two shuffles on the edge
-key; ``localCheckpoint`` every round cuts the lineage so plans stay
+key; a per-round checkpoint cuts the lineage so plans stay
 bounded — at 10^10 edges this runs as a handful of hash-partitioned
-jobs, never driver-side.
+jobs, never driver-side. ``checkpoint_dir`` picks the backend: None
+uses ``localCheckpoint`` (executor-local blocks — fine single-JVM), a
+path uses reliable ``df.checkpoint()`` storage so a lost executor
+cannot sink the whole iteration at cluster scale (README's 100TB
+notes promise exactly this swap).
 """
 
 from __future__ import annotations
@@ -26,25 +30,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
     Node ids must be a totally ordered type (string or numeric).
+    ``checkpoint_dir``: when given, per-round lineage cuts go through
+    reliable-storage ``checkpoint()`` (the dir is set once on the
+    SparkContext) instead of ``localCheckpoint``.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .dropDuplicates(["a", "b"])
-        .localCheckpoint()
     )
+    sym = ckpt(sym)
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("component"))
         .select(F.col("a").alias("node"), "component")
         .withColumn("component", F.least("node", "component"))
-        .localCheckpoint()
     )
+    labels = ckpt(labels)
     for it in range(max_iter):
         # neighbor-min: each node pulls the smallest component label
         # among itself and its neighbors' current labels. The change
@@ -68,9 +85,8 @@ def connected_components(
             )
             .observe(obs, F.sum((F.col("component") != F.col("__old")).cast("long")).alias("changed"))
             .drop("__old")
-            .localCheckpoint()
         )
-        labels = new_labels
+        labels = ckpt(new_labels)
         if (obs.get["changed"] or 0) == 0:
             break
     # one more pass: path-compress labels through the label table itself
@@ -93,9 +109,8 @@ def connected_components(
             )
             .observe(obs, F.sum((F.col("component") != F.col("__old")).cast("long")).alias("changed"))
             .drop("__old")
-            .localCheckpoint()
         )
-        labels = compressed
+        labels = ckpt(compressed)
         if (obs.get["changed"] or 0) == 0:
             break
     return labels

@@ -30,11 +30,22 @@ from dbt_customer360_spark.functions.normalize import levenshtein_similarity
 
 @dataclass(frozen=True)
 class MatchRule:
-    """One equality disjunct: left.key_expr == right.key_expr."""
+    """One equality disjunct: left.key_expr == right.key_expr.
+
+    ``group``: rules sharing a group tag cross-match (any phone column
+    against any phone column).  Defaults to the text before the rule
+    name's second ``_`` — pass it explicitly whenever two rule names
+    share that prefix but must NOT cross-match (e.g. two internal-id
+    columns ``crm_account_id`` / ``crm_contact_id``)."""
 
     name: str
     left_key: str   # column on the left DataFrame
     right_key: str  # column on the right DataFrame
+    group: str | None = None
+
+    @property
+    def group_tag(self) -> str:
+        return self.group if self.group is not None else _rule_group(self.name)
 
 
 def _cap_hot_keys(df: DataFrame, key: str, id_col: str, max_freq: int) -> DataFrame:
@@ -73,7 +84,7 @@ def candidate_pairs(
         entries = [
             F.struct(
                 F.lit(r.name).alias("rule"),
-                F.concat_ws("", F.lit(_rule_group(r.name)), F.col(k)).alias("k"),
+                F.concat_ws("", F.lit(r.group_tag), F.col(k)).alias("k"),
                 F.col(k).alias("raw"),
             )
             for r, k in side_keys

@@ -135,14 +135,22 @@ def kmeans_centroids(
     iters: int = 2,
     vec_col: str = "embedding",
     seed: int = 42,
+    wide_dim_threshold: int = 64,
 ) -> DataFrame:
     """Deterministic k-means (Lloyd) in pure DataFrame ops for IVF.
 
     Init: the k corpus vectors with the smallest xxhash64(vec_id, seed)
     (a seeded deterministic sample — no driver RNG). Each iteration:
     assign every row to its nearest centroid via a broadcast join, then
-    average per cluster with per-index element sums. Returns
-    (centroid_id, centroid: array<double>).
+    average per cluster. Returns (centroid_id, centroid: array<double>).
+
+    Mean step has two shapes: per-index sum columns for dim <
+    ``wide_dim_threshold`` (one stage, no explode), and
+    posexplode → groupBy(centroid_id, pos) above it — at embedding
+    dims 512-4096 a per-dim column list is thousands of aggregate
+    expressions and blows up codegen, while the exploded shape keeps
+    TWO agg columns regardless of dim and rebuilds each centroid with
+    one k-row collect_list (k centroids, never the corpus).
     """
     base = corpus.select(
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -176,18 +184,38 @@ def kmeans_centroids(
             )
             .select(F.col("__w.v").alias("v"), F.col("__w.centroid_id").alias("centroid_id"))
         )
-        # mean per cluster: element-wise sum via aggregate over collected
-        # arrays is O(cluster); use sum of per-index columns instead
-        sums = assigned.groupBy("centroid_id").agg(
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-            F.count("*").alias("n"),
-        )
-        centroids = F.broadcast(
-            sums.select(
-                "centroid_id",
-                F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
+        if dim < wide_dim_threshold:
+            # mean per cluster: sum of per-index columns — one stage,
+            # codegen-friendly at small dims
+            sums = assigned.groupBy("centroid_id").agg(
+                *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+                F.count("*").alias("n"),
             )
-        )
+            centroids = F.broadcast(
+                sums.select(
+                    "centroid_id",
+                    F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias(
+                        "centroid"
+                    ),
+                )
+            )
+        else:
+            # wide-dim shape: explode to (centroid_id, pos, x), sum +
+            # count partial-aggregate map-side, then rebuild the k
+            # centroid arrays (collect_list is over k*dim rows total)
+            means = (
+                assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+                .groupBy("centroid_id", "pos")
+                .agg((F.sum("x") / F.count("*")).alias("m"))
+            )
+            centroids = F.broadcast(
+                means.groupBy("centroid_id").agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+            )
     return centroids
 
 

@@ -165,6 +165,16 @@ class Customer360Pipeline:
             )
         )
 
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """Lineage cut at a stage boundary — localCheckpoint by default,
+        reliable-storage checkpoint when config.checkpoint_dir is set."""
+        if self.config.checkpoint_dir is None:
+            return df.localCheckpoint()
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != self.config.checkpoint_dir:
+            sc.setCheckpointDir(self.config.checkpoint_dir)
+        return df.checkpoint()
+
     def _with_alt_first_names(self, df: DataFrame, name_col: str, out_col: str) -> DataFrame:
         """possible_alt_first_names for a cleaned person-name column
         (int_customer360__{marketo,stripe,zendesk}.sql nickname joins —
@@ -596,7 +606,16 @@ class Customer360Pipeline:
             # columns can never cross-match on a shared value
             for name in iids:
                 rules.append(
-                    MatchRule(f"r0-{name}_internal", f"a_iid_{name}", f"b_iid_{name}")
+                    MatchRule(
+                        f"r0-{name}_internal",
+                        f"a_iid_{name}",
+                        f"b_iid_{name}",
+                        # explicit group: name-derived prefixes collide
+                        # when two id columns share a first token
+                        # (crm_account_id / crm_contact_id) and would
+                        # silently cross-match on a shared value
+                        group=f"r0:{name}",
+                    )
                 )
             for i, ac in enumerate(["a_phone_clean", "a_phone2", "a_phone3"]):
                 for j, bc in enumerate(["b_phone_clean", "b_phone2", "b_phone3"]):
@@ -657,7 +676,9 @@ class Customer360Pipeline:
     # --- mapping (identity table) -----------------------------------------------
 
     def mapping(self, m: DataFrame, s: DataFrame, z: DataFrame, edges: DataFrame) -> DataFrame:
-        comp = connected_components(edges.select("src", "dst"))
+        comp = connected_components(
+            edges.select("src", "dst"), checkpoint_dir=self.config.checkpoint_dir
+        )
         nodes = (
             m.select(F.concat(F.lit("m:"), F.col("lead_id").cast("string")).alias("node"))
             .unionByName(s.select(F.concat(F.lit("s:"), F.col("customer_id")).alias("node")))
@@ -1120,12 +1141,12 @@ class Customer360Pipeline:
         )
         if not self.config.using_zendesk:
             zendesk_metrics_raw = None
-        m = self.clean_marketo(marketo_raw).localCheckpoint()
-        s = self.clean_stripe(stripe_raw).localCheckpoint()
-        z = self.clean_zendesk(zendesk_users_raw, zendesk_orgs_raw).localCheckpoint()
+        m = self._ckpt(self.clean_marketo(marketo_raw))
+        s = self._ckpt(self.clean_stripe(stripe_raw))
+        z = self._ckpt(self.clean_zendesk(zendesk_users_raw, zendesk_orgs_raw))
         edges = self.source_matches(m, s, z)
-        mapping = self.mapping(m, s, z, edges).localCheckpoint()
-        emap = self.entity_map(mapping).localCheckpoint()
+        mapping = self._ckpt(self.mapping(m, s, z, edges))
+        emap = self._ckpt(self.entity_map(mapping))
         attrs = self.attribute_tables(m, s, z, emap)
         summary = self.summary(mapping, attrs)
         customer = self.customer(summary, s, m, emap, zendesk_metrics=zendesk_metrics_raw)

@@ -47,6 +47,14 @@ def query(name: str, oracle: str | None = None):
 
 DEC = "decimal(22,6)"
 
+
+def _q6(col):
+    """Engine-stable 6-dp quantizer: floor(x*1e6 + 0.5)/1e6 is the SAME
+    IEEE op sequence on Spark and DuckDB, unlike round(x, 6) (Spark =
+    BigDecimal HALF_UP on the double's exact binary expansion, DuckDB =
+    multiply-then-rint) which disagree by 1 ulp on half-way doubles."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
 # =============================================================================
 # Relational core (SURVEY.md §2.2-2.8)
 # =============================================================================
@@ -58,8 +66,11 @@ DEC = "decimal(22,6)"
     select l_returnflag, l_linestatus,
            cast(sum(cast(l_quantity as decimal(22,6))) as double) as sum_qty,
            cast(sum(cast(l_extendedprice as decimal(22,6))) as double) as sum_base_price,
-           cast(sum(cast(l_extendedprice as decimal(22,6)) * (1 - cast(l_discount as decimal(22,6)))) as double) as sum_disc_price,
-           cast(sum(cast(l_discount as decimal(22,6))) / count(*) as double) as avg_disc,
+           -- narrow operand types: a (22,6)x(22,6) product needs precision
+           -- 45 > 38, where Spark truncates scale and DuckDB degrades to
+           -- double — (15,2)x(6,2) stays EXACT decimal on both engines
+           cast(sum(cast(l_extendedprice as decimal(15,2)) * (1 - cast(l_discount as decimal(5,2)))) as double) as sum_disc_price,
+           cast(sum(cast(l_discount as decimal(22,6))) as double) / count(*) as avg_disc,
            count(*) as count_order
     from lineitem
     group by l_returnflag, l_linestatus
@@ -74,8 +85,13 @@ def pricing_summary(spark, sf):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).cast("double").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-        (F.sum(disc) / F.count("*")).cast("double").alias("avg_disc"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(15,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -1405,23 +1421,29 @@ def multi_char_trim(spark, sf):
     """
     with seg as (
       select c_nationkey, c_mktsegment,
-             sum(cast(c_acctbal as decimal(22,6))) / count(*) as seg_avg
+             cast(floor((cast(sum(cast(c_acctbal as decimal(22,6))) as double)
+                        / count(*)) * 1e6 + 0.5) / 1e6 as decimal(22,6)) as seg_avg
       from customer group by 1, 2
     )
     select c_nationkey,
-           cast(sum(seg_avg) / count(*) as double) as avg_of_segment_avgs
+           cast(sum(seg_avg) as double) / count(*) as avg_of_segment_avgs
     from seg group by c_nationkey
     """,
 )
 def avg_of_avg_rollup(spark, sf):
-    """A5: avg-of-averages org rollup (customer.sql:306-317) — both
-    levels in exact decimal, one final double cast."""
+    """A5: avg-of-averages org rollup (customer.sql:306-317). Each
+    inexact step is one double division on an exact decimal sum,
+    re-quantized via _q6 — Spark's decimal/bigint division yields a
+    scale-rounded DECIMAL while DuckDB yields a double, so dividing
+    inside decimal drifts in the tail bits across engines."""
     c = _t(spark, sf, "customer")
     seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        (F.sum(F.col("c_acctbal").cast(DEC)) / F.count("*")).alias("seg_avg")
+        _q6(F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*"))
+        .cast(DEC)
+        .alias("seg_avg")
     )
     return seg.groupBy("c_nationkey").agg(
-        (F.sum("seg_avg") / F.count("*")).cast("double").alias("avg_of_segment_avgs")
+        (F.sum("seg_avg").cast("double") / F.count("*")).alias("avg_of_segment_avgs")
     )
 
 
@@ -1550,17 +1572,18 @@ _CUSTOMER_ROLLUP_ORACLE = """
     with order_rows as (
       select l_orderkey,
              -- every inexact step is ONE double division on an exact
-             -- decimal sum, re-quantized to 6 dp (deterministic on any
-             -- engine; decimal-division scale rules are not portable)
-             cast(round(cast(sum(cast(l_extendedprice as decimal(22,6))) as double)
-                        / count(*), 6) as decimal(22,6)) as avg_price,
+             -- decimal sum, re-quantized to 6 dp via the engine-stable
+             -- floor(x*1e6+0.5)/1e6 (round() half-up boundaries differ
+             -- by 1 ulp between Spark and DuckDB; see _q6)
+             cast(floor((cast(sum(cast(l_extendedprice as decimal(22,6))) as double)
+                        / count(*)) * 1e6 + 0.5) / 1e6 as decimal(22,6)) as avg_price,
              count(*) as n_lines
       from lineitem group by l_orderkey
     ), cust as (
       select o.o_custkey,
              sum(r.n_lines) as n_lines,
-             cast(round(cast(sum(r.avg_price * r.n_lines) as double)
-                        / sum(r.n_lines), 6) as decimal(22,6)) as w_avg_price
+             cast(floor((cast(sum(r.avg_price * r.n_lines) as double)
+                        / sum(r.n_lines)) * 1e6 + 0.5) / 1e6 as decimal(22,6)) as w_avg_price
       from order_rows r join orders o on r.l_orderkey = o.o_orderkey
       group by o.o_custkey
     ), detail as (
@@ -1575,7 +1598,8 @@ _CUSTOMER_ROLLUP_ORACLE = """
              c.c_nationkey,
              true as is_org_header,
              sum(coalesce(t.n_lines, 0)) as n_lines,
-             cast(sum(t.w_avg_price) as double) / count(t.w_avg_price) as w_avg_price
+             floor((cast(sum(t.w_avg_price) as double)
+                    / count(t.w_avg_price)) * 1e6 + 0.5) / 1e6 as w_avg_price
       from customer c left join cust t on c.c_custkey = t.o_custkey
       group by c.c_nationkey
     )
@@ -1596,7 +1620,7 @@ def customer_metrics_rollup(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     order_rows = li.groupBy("l_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*"), 6)
+        _q6(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.count("*"))
         .cast(DEC)
         .alias("avg_price"),
         F.count("*").alias("n_lines"),
@@ -1609,10 +1633,7 @@ def customer_metrics_rollup(spark, sf):
         .groupBy("o_custkey")
         .agg(
             F.sum("n_lines").alias("n_lines"),
-            F.round(
-                F.sum(F.col("avg_price") * F.col("n_lines")).cast("double") / F.sum("n_lines"),
-                6,
-            )
+            _q6(F.sum(F.col("avg_price") * F.col("n_lines")).cast("double") / F.sum("n_lines"))
             .cast(DEC)
             .alias("w_avg_price"),
         )
@@ -1629,7 +1650,8 @@ def customer_metrics_rollup(spark, sf):
         .groupBy("c_nationkey")
         .agg(
             F.sum(F.coalesce("n_lines", F.lit(0))).alias("n_lines"),
-            (F.sum("w_avg_price").cast("double") / F.count("w_avg_price")).alias("w_avg_price"),
+            _q6(F.sum("w_avg_price").cast("double") / F.count("w_avg_price"))
+            .alias("w_avg_price"),
         )
         .select(
             F.concat(F.lit("hdr_"), F.col("c_nationkey").cast("string")).alias("row_id"),

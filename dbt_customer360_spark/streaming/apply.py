@@ -43,6 +43,9 @@ class CDCApplier:
         buckets: int = 16,
         assume_dense_batches: bool = False,
         hot_key_salt: int | None = None,
+        maintenance_every: int | None = None,
+        max_files_per_bucket: int = 8,
+        keep_snapshots: int = 4,
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -55,7 +58,19 @@ class CDCApplier:
 
         ``hot_key_salt``: explicit two-phase salted merge (see
         LakeTable.merge_lsn) for streams where one (repo, path)
-        dominates whole micro-batches."""
+        dominates whole micro-batches.
+
+        ``maintenance_every``: run auto-maintenance after every N
+        applied (non-skipped) batches — cost-gated compaction
+        (``maybe_compact``, a no-op while every bucket holds at most
+        ``max_files_per_bucket`` files) plus snapshot expiry down to
+        ``keep_snapshots``, on both the repos and lineage tables.
+        Keeps file and snapshot counts bounded over an unbounded
+        stream; None (default) leaves maintenance to the operator.
+        Tombstones are deliberately KEPT by auto-compaction — a
+        tombstone carries the deleted key's __max_lsn so a stale
+        replayed update can never resurrect it; dropping them is an
+        explicit manual compact(drop_tombstones_col=...) decision."""
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
         self.assume_dense_batches = assume_dense_batches
@@ -63,6 +78,23 @@ class CDCApplier:
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
         )
+        self.maintenance_every = maintenance_every
+        self.max_files_per_bucket = max_files_per_bucket
+        self.keep_snapshots = keep_snapshots
+        self._applied_since_maintenance = 0
+
+    def maybe_maintain(self) -> bool:
+        """Cost-gated compaction + snapshot expiry on repos (and
+        lineage, whose per-epoch appends are the worst file churn).
+        Exactly-once survives both: committed batch_ids ride every
+        manifest, so expiry never forgets an applied epoch."""
+        self.table.maybe_compact(max_files_per_bucket=self.max_files_per_bucket)
+        self.table.expire_snapshots(keep_last=self.keep_snapshots)
+        if self.lineage is not None:
+            self.lineage.maybe_compact(max_files_per_bucket=self.max_files_per_bucket)
+            self.lineage.expire_snapshots(keep_last=self.keep_snapshots)
+        self._applied_since_maintenance = 0
+        return True
 
     # --- one micro-batch ---------------------------------------------------------
 
@@ -140,6 +172,12 @@ class CDCApplier:
                 "epoch string, rows_applied long, deletes long, min_lsn long, max_lsn long, snapshot_id long",
             )
             self.lineage.append(row, batch_id=f"lineage-{batch_id}")
+        self._applied_since_maintenance += 1
+        if (
+            self.maintenance_every
+            and self._applied_since_maintenance >= self.maintenance_every
+        ):
+            self.maybe_maintain()
         return lineage
 
     def state(self) -> DataFrame:

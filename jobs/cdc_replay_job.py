@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         "--dense-batches", action="store_true",
         help="batches touch every bucket: skip the touched-bucket discovery scan",
     )
+    ap.add_argument(
+        "--maintenance-every", type=int, default=8,
+        help="auto-compact + expire snapshots every N applied batches (0 = off)",
+    )
+    ap.add_argument(
+        "--keep-snapshots", type=int, default=4,
+        help="snapshots retained by auto-maintenance expiry",
+    )
     args = ap.parse_args(argv)
 
     from dbt_customer360_spark.session import get_spark
@@ -62,6 +70,8 @@ def main(argv: list[str] | None = None) -> int:
         buckets=args.buckets,
         assume_dense_batches=args.dense_batches,
         hot_key_salt=args.hot_key_salt,
+        maintenance_every=args.maintenance_every or None,
+        keep_snapshots=args.keep_snapshots,
     )
 
     t0 = time.time()

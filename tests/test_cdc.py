@@ -141,3 +141,46 @@ def test_schema_evolution_midstream(spark):
     ap.apply_batch(b2, 2)
     rows = {r.path: (r.lang, r.branch, r.content) for r in ap.state().collect()}
     assert rows == {"p": ("go", "dev", "z"), "q": ("py", "main", "y")}
+
+
+def test_auto_maintenance_bounds_files_and_snapshots(spark):
+    """Round-2 verdict Next #7: with maintenance_every wired into the
+    apply loop, data-file count and snapshot count stay bounded over 20
+    epochs, final state still matches the python oracle, and replaying
+    an already-applied epoch is STILL skipped after snapshot expiry
+    (committed batch_ids ride every manifest)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="cdc_maint_")
+    events = _events(spark, n=4000)
+    ap = CDCApplier(
+        spark,
+        f"{root}/repos",
+        f"{root}/lineage",
+        buckets=4,
+        maintenance_every=5,
+        max_files_per_bucket=3,
+        keep_snapshots=3,
+    )
+    stats = replay_batch(ap, events, n_batches=20)
+    assert sum(s["rows_applied"] for s in stats) == 4000
+
+    def n_data_dirs(table_root):
+        return len(os.listdir(os.path.join(table_root, "data")))
+
+    def n_snapshots(table_root):
+        return len(os.listdir(os.path.join(table_root, "snapshots")))
+
+    # bounded: without maintenance each table holds 20+ snapshots and
+    # every one of the 20 merges/appends strands its write dir (20+
+    # top-level data dirs); expiry keeps 3 snapshots and only the dirs
+    # they reference survive
+    assert n_snapshots(f"{root}/repos") <= 3
+    assert n_snapshots(f"{root}/lineage") <= 3
+    assert n_data_dirs(f"{root}/repos") <= 3 * 4  # kept snapshots x buckets
+    assert n_data_dirs(f"{root}/lineage") <= 3 * (3 + 1)
+
+    assert _sha(_engine_state(ap)) == _sha(_python_oracle(events.collect()))
+    # exactly-once survives expiry: re-apply epoch 19's slice
+    redo = ap.apply_batch(events.limit(10), 19)
+    assert redo["skipped"] is True

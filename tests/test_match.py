@@ -78,3 +78,21 @@ def test_components_long_chain_and_star(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
     comp = {r.node: r.component for r in connected_components(star).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir knob (round-2 verdict Next #5): the per-round
+    lineage cut goes through reliable-storage df.checkpoint() — same
+    labels as the localCheckpoint path, and checkpoint RDD files
+    actually land under the given dir."""
+    ckdir = str(tmp_path / "cc_ck")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)], "src long, dst long")
+    comp = {
+        r.node: r.component
+        for r in connected_components(chain, checkpoint_dir=ckdir).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 13
+    import os
+
+    found = any(files for _, _, files in os.walk(ckdir))
+    assert found, "no checkpoint files written under checkpoint_dir"

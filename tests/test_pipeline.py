@@ -249,6 +249,35 @@ def test_internal_match_ids_pair_on_id_only(spark):
     assert plain.source_matches(mc, sc, zc).count() == 0
 
 
+def test_internal_match_ids_never_cross_columns(spark):
+    """Two configured id columns sharing a first token (crm_account_id /
+    crm_contact_id) must NOT pair on a value that appears in DIFFERENT
+    columns across the two sides — each id column is its own match
+    group (round-2 verdict Wrong #2: the name-prefix-derived group
+    collapsed both to 'r0-crm')."""
+    from dbt_customer360_spark.config import Customer360Config
+
+    m_rows = [("1", "a@x.com", "alice aardvark", None, None, "15550000001",
+               None, None, None, None, None, "SHARED-1")]
+    s_rows = [("cus_1", "b@y.com", "bob burro", "bob burro", None, None,
+               "15559999999", None, None, None, None)]
+    cfg = Customer360Config(internal_match_ids=["crm_account_id", "crm_contact_id"])
+    pipe = Customer360Pipeline(spark, config=cfg)
+    mc, sc, zc = _minimal_cleaned(spark, m_rows, s_rows)
+    # marketo: account id SHARED-1, no contact id; stripe: contact id
+    # SHARED-1, no account id — same value, different columns
+    mc = mc.withColumn("crm_contact_id", F.lit(None).cast("string"))
+    sc = sc.withColumn("crm_contact_id", F.lit("SHARED-1"))
+    assert pipe.source_matches(mc, sc, zc).count() == 0
+
+    # control: the same value in the SAME column does pair
+    sc_same = sc.withColumn("crm_account_id", F.lit("SHARED-1")).withColumn(
+        "crm_contact_id", F.lit(None).cast("string")
+    )
+    edges = pipe.source_matches(mc, sc_same, zc)
+    assert [(r.src, r.dst) for r in edges.collect()] == [("m:1", "s:cus_1")]
+
+
 def test_internal_match_id_sentinel_never_matches(spark):
     """'null_<source>' sentinel ids are nullified before keying."""
     from dbt_customer360_spark.config import Customer360Config

@@ -30,7 +30,9 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # full-precision repr — %.9g masked a 1e-6 diff in round 2 and
+        # the driver's canonicalizer caught it; bit-exact or bust
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)

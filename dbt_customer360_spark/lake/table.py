@@ -10,8 +10,10 @@ on a cluster (the call-sites only use the API below):
 - **snapshots**: JSON manifests under ``<root>/snapshots/`` listing
   the live data files + schema + properties. The table state IS the
   highest-numbered manifest; writing a manifest is the atomic commit
-  (single ``os.replace`` of a tempfile — readers never see a partial
-  commit).
+  (tempfile + ``os.link`` create-if-absent — readers never see a
+  partial commit, and a concurrent writer racing for the same
+  snapshot id gets ``CommitConflict`` instead of a silent overwrite,
+  Iceberg's optimistic-concurrency model).
 - **idempotent commits**: every commit carries an optional
   ``batch_id``; committed batch ids are recorded in the manifest, and
   re-applying an already-committed ``batch_id`` is a no-op. This is
@@ -46,6 +48,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent writer published the snapshot id this commit was
+    about to take. The attempted commit is NOT applied; re-read the
+    manifest and retry (idempotent batch_ids make retries safe)."""
 
 
 class LakeTable:
@@ -89,13 +97,32 @@ class LakeTable:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> int:
-        sid = self.current_snapshot_id() + 1
+        """Atomic optimistic-concurrency publish (Iceberg-style): the
+        new snapshot file is linked into place with an O_EXCL-like
+        primitive that FAILS if the id was taken, so a concurrent
+        writer that committed since this writer read its manifest
+        surfaces as CommitConflict instead of silently overwriting a
+        snapshot — the caller re-reads and re-applies (CDC epochs are
+        idempotent, so a retry is safe)."""
+        # target id = BASE + 1 (not current + 1): a manifest derived from
+        # snapshot N must land exactly at N+1, so a writer that raced
+        # past us fails the create instead of silently discarding the
+        # winner's file lists under a higher id
+        sid = manifest["snapshot_id"] + 1
         manifest["snapshot_id"] = sid
         path = os.path.join(self.root, "snapshots", f"{sid}.json")
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "snapshots"))
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, path)  # atomic publish
+        try:
+            os.link(tmp, path)  # atomic create-if-absent (fails on conflict)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"snapshot {sid} already committed by a concurrent writer; "
+                "re-read the table state and retry the operation"
+            )
+        os.remove(tmp)
         return sid
 
     def committed_batch_ids(self) -> set[str]:

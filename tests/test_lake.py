@@ -238,3 +238,35 @@ def test_legacy_xxhash64_layout_still_merges(spark):
     t.merge_lsn(df2, ["repo", "path"], batch_id="b2")
     got = {(r.repo, r.path): r["__max_lsn"] for r in t.read().collect()}
     assert got == {("r1", "a"): 5, ("r2", "b"): 2, ("r3", "c"): 3}
+
+
+def test_commit_conflict_detected_not_overwritten(spark):
+    """Optimistic concurrency: a writer whose target snapshot id was
+    taken while it worked gets CommitConflict; the winner's snapshot
+    survives untouched and a retry (fresh manifest read) succeeds."""
+    import json
+    import os
+
+    from dbt_customer360_spark.lake.table import CommitConflict
+
+    t = _table(spark)
+    df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
+    t.merge(df, ["repo", "path"], batch_id="b0")  # snapshot 1
+
+    # writer A reads the manifest, then writer B commits snapshot 2
+    stale = t._read_manifest()
+    winner = t._read_manifest()
+    winner["batch_ids"].append("winner")
+    t._commit(winner)  # snapshot 2
+
+    stale["batch_ids"].append("loser")
+    import pytest
+
+    with pytest.raises(CommitConflict):
+        t._commit(stale)
+    with open(os.path.join(t.root, "snapshots", "2.json")) as f:
+        assert "winner" in json.load(f)["batch_ids"]
+    # retry against a fresh read succeeds as snapshot 3
+    retry = t._read_manifest()
+    retry["batch_ids"].append("loser")
+    assert t._commit(retry) == 3

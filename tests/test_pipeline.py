@@ -425,3 +425,19 @@ def test_golden_multi_column_tiebreak_deterministic(spark):
         out = golden.rank_values(df, "entity", "phone", tie_break_cols=["extension"])
         return {(r.extension): r["index"] for r in out.collect()}
     assert run(a) == run(b) == {"2": 1, "5": 2, "9": 3}
+
+
+def test_pipeline_reliable_checkpoint_dir(spark, tmp_path):
+    """Customer360Config.checkpoint_dir routes the pipeline's lineage
+    cuts through reliable-storage df.checkpoint() (round-2 verdict
+    Next #5's pipeline half)."""
+    import os
+
+    from dbt_customer360_spark.config import Customer360Config
+
+    ckdir = str(tmp_path / "pipe_ck")
+    pipe = Customer360Pipeline(spark, config=Customer360Config(checkpoint_dir=ckdir))
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    out = pipe._ckpt(df)
+    assert out.collect() == df.collect()
+    assert any(files for _, _, files in os.walk(ckdir))

@@ -131,3 +131,45 @@ def fingerprint(text: Column, window: int = 8, hash_family: str = "xxhash64") ->
     if hash_family == "md5":
         return F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# --- PII scrubbing (training-data pipelines redact before training) ----------
+
+# (name, pattern, replacement) applied IN ORDER — order is part of the
+# contract because patterns overlap (an IPv4 is also a run of digits
+# and dots a phone pattern could eat). Patterns restrict themselves to
+# syntax with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, ASCII \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "[PHONE]"),
+]
+
+
+def pii_scrub(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(scrubbed_text, {kind: count}) — sequential redaction, each
+    pattern counted on the text AFTER earlier patterns were applied
+    (the count is exactly what the scrub redacted, and overlap between
+    patterns can't double-report). Native regexp_replace chain:
+    JVM-side, codegen'd, no Python in the row path."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur, counts
+
+
+def pii_scrub_sql(text: str) -> tuple[str, dict[str, str]]:
+    """DuckDB twin rendered from the SAME pattern table ('g' flag:
+    DuckDB's regexp_replace is first-match-only by default, Spark's
+    replaces all)."""
+    counts: dict[str, str] = {}
+    cur = text
+    for name, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts[name] = f"len(regexp_extract_all({cur}, '{esc}'))"
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    return cur, counts

@@ -1200,6 +1200,39 @@ def _langid_oracle() -> str:
     """
 
 
+def _pii_oracle() -> str:
+    # scrub + counts rendered from the same PII_PATTERNS table as the
+    # Spark query; counts are computed on the sequentially-scrubbed
+    # text, so each regexp_extract_all sees the same input as its twin
+    scrubbed, counts = textstats.pii_scrub_sql("text")
+    count_cols = ", ".join(f"{expr} as n_{name}" for name, expr in counts.items())
+    return f"""
+        select doc_id,
+               {scrubbed} as scrubbed,
+               {count_cols}
+        from documents
+    """
+
+
+ORACLES["pii_scrub_docs"] = _pii_oracle()
+
+
+@query("pii_scrub_docs")
+def pii_scrub_docs(spark, sf):
+    """PII redaction for training corpora (task-brief text-analysis
+    family): emails / SSNs / IPv4s / phone-shaped runs replaced by
+    typed tags, with per-kind redaction counts — a sequential
+    regexp_replace chain, JVM-side, rendered from the same
+    PII_PATTERNS table as the DuckDB oracle."""
+    d = _t(spark, sf, "documents")
+    scrubbed, counts = textstats.pii_scrub(F.col("text"))
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
 ORACLES["langid_docs"] = _langid_oracle()
 
 

@@ -225,3 +225,30 @@ def test_kmeans_wide_dim_path(spark):
     assert "s511" not in plan and "s64" not in plan
     got = cents.collect()
     assert len(got) == 2 and all(len(r.centroid) == dim for r in got)
+
+
+def test_pii_scrub(spark):
+    """Sequential typed redaction: emails before phones (an email's
+    digits must not be half-eaten by the phone pattern), counts match
+    what was actually redacted."""
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com and +1 (555) 123-4567 ok"),
+        (2, "server 10.0.255.7 ssn 123-45-6789"),
+        (3, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scrubbed, counts = textstats.pii_scrub(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrubbed.alias("s"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1].s == "mail [EMAIL] and [PHONE] ok"
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ipv4 == 0
+    assert out[2].s == "server [IP] ssn [SSN]"
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
+    assert out[3].s == rows[2][1]
+    assert out[3].n_email == out[3].n_phone == out[3].n_ssn == out[3].n_ipv4 == 0

@@ -46,6 +46,8 @@ class CDCApplier:
         maintenance_every: int | None = None,
         max_files_per_bucket: int = 8,
         keep_snapshots: int = 4,
+        lineage_grain: str = "epoch",
+        partition_col: str = "source_connector",
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -70,7 +72,16 @@ class CDCApplier:
         Tombstones are deliberately KEPT by auto-compaction — a
         tombstone carries the deleted key's __max_lsn so a stale
         replayed update can never resurrect it; dropping them is an
-        explicit manual compact(drop_tombstones_col=...) decision."""
+        explicit manual compact(drop_tombstones_col=...) decision.
+
+        ``lineage_grain``: 'epoch' (default) writes one lineage row per
+        micro-batch with global stats riding the merge Observation;
+        'partition' additionally writes one row per source partition
+        (``partition_col``, the feed's Kafka-partition analog) carrying
+        that partition's offset range / rows / deletes — the north_star's
+        per-partition lineage. Partition grain costs one extra
+        column-pruned aggregation job over the batch (Observations are
+        global-only); epochs stay the default for throughput."""
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
         self.assume_dense_batches = assume_dense_batches
@@ -78,6 +89,8 @@ class CDCApplier:
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
         )
+        self.lineage_grain = lineage_grain
+        self.partition_col = partition_col
         self.maintenance_every = maintenance_every
         self.max_files_per_bucket = max_files_per_bucket
         self.keep_snapshots = keep_snapshots
@@ -158,18 +171,50 @@ class CDCApplier:
             "committed_at": time.time(),
         }
         if self.lineage is not None:
-            row = self.spark.createDataFrame(
-                [
+            rows = [
+                (
+                    str(epoch_id),
+                    None,  # partition: NULL marks the epoch-total row
+                    int(lineage["rows_applied"]),
+                    int(lineage["deletes"]),
+                    int(lineage["min_lsn"]) if lineage["min_lsn"] is not None else None,
+                    int(lineage["max_lsn"]) if lineage["max_lsn"] is not None else None,
+                    int(sid),
+                )
+            ]
+            if self.lineage_grain == "partition" and self.partition_col in batch.columns:
+                # per-source-partition offset ranges (north_star lineage
+                # clause). Observations are global-only, so this is one
+                # extra aggregation job — column-pruned to
+                # (partition_col, lsn, op), never the content payload.
+                per_part = (
+                    batch.groupBy(self.partition_col)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(F.col("op") == "delete", 1).otherwise(0)
+                        ).alias("d"),
+                        F.min("lsn").alias("lo"),
+                        F.max("lsn").alias("hi"),
+                    )
+                    .collect()
+                )
+                rows += [
                     (
                         str(epoch_id),
-                        int(lineage["rows_applied"]),
-                        int(lineage["deletes"]),
-                        int(lineage["min_lsn"]) if lineage["min_lsn"] is not None else None,
-                        int(lineage["max_lsn"]) if lineage["max_lsn"] is not None else None,
+                        str(r[0]),
+                        int(r["n"]),
+                        int(r["d"]),
+                        int(r["lo"]),
+                        int(r["hi"]),
                         int(sid),
                     )
-                ],
-                "epoch string, rows_applied long, deletes long, min_lsn long, max_lsn long, snapshot_id long",
+                    for r in per_part
+                ]
+            row = self.spark.createDataFrame(
+                rows,
+                "epoch string, partition string, rows_applied long, deletes long, "
+                "min_lsn long, max_lsn long, snapshot_id long",
             )
             self.lineage.append(row, batch_id=f"lineage-{batch_id}")
         self._applied_since_maintenance += 1

@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
         "--keep-snapshots", type=int, default=4,
         help="snapshots retained by auto-maintenance expiry",
     )
+    ap.add_argument(
+        "--lineage-grain", choices=["epoch", "partition"], default="epoch",
+        help="'partition' adds per-source-partition offset-range lineage rows",
+    )
     args = ap.parse_args(argv)
 
     from dbt_customer360_spark.session import get_spark
@@ -72,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         hot_key_salt=args.hot_key_salt,
         maintenance_every=args.maintenance_every or None,
         keep_snapshots=args.keep_snapshots,
+        lineage_grain=args.lineage_grain,
     )
 
     t0 = time.time()

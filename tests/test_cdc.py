@@ -184,3 +184,28 @@ def test_auto_maintenance_bounds_files_and_snapshots(spark):
     # exactly-once survives expiry: re-apply epoch 19's slice
     redo = ap.apply_batch(events.limit(10), 19)
     assert redo["skipped"] is True
+
+
+def test_partition_grain_lineage(spark):
+    """lineage_grain='partition': each epoch writes the epoch-total row
+    (partition NULL) plus one row per source connector whose counts sum
+    to the epoch total and whose offset ranges nest inside the epoch's
+    (north_star per-partition lineage)."""
+    root = tempfile.mkdtemp(prefix="cdc_lin_")
+    events = _events(spark, n=2000)
+    ap = CDCApplier(
+        spark, f"{root}/repos", f"{root}/lineage", buckets=4, lineage_grain="partition"
+    )
+    replay_batch(ap, events, n_batches=2)
+    lin = ap.lineage.read().collect()
+    epochs = {r.epoch for r in lin}
+    assert epochs == {"0", "1"}
+    for e in epochs:
+        total = [r for r in lin if r.epoch == e and r.partition is None]
+        parts = [r for r in lin if r.epoch == e and r.partition is not None]
+        assert len(total) == 1 and len(parts) >= 2  # conn_a/b/c
+        assert sum(p.rows_applied for p in parts) == total[0].rows_applied
+        assert sum(p.deletes for p in parts) == total[0].deletes
+        assert min(p.min_lsn for p in parts) == total[0].min_lsn
+        assert max(p.max_lsn for p in parts) == total[0].max_lsn
+        assert all(p.snapshot_id == total[0].snapshot_id for p in parts)

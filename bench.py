@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "langid_docs",
     "name_titles_strip",
     "street_suffix_expand",
+    "pii_scrub_docs",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))

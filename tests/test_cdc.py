@@ -209,3 +209,49 @@ def test_partition_grain_lineage(spark):
         assert min(p.min_lsn for p in parts) == total[0].min_lsn
         assert max(p.max_lsn for p in parts) == total[0].max_lsn
         assert all(p.snapshot_id == total[0].snapshot_id for p in parts)
+
+
+def test_merge_lsn_property_random_streams(spark):
+    """Property test (hypothesis): for ANY op stream over a small key
+    space — duplicate LSN-ordered upserts/deletes, any contiguous batch
+    split, salted or not — the engine's final visible state equals the
+    single-threaded last-LSN-wins python reducer."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.tuples(
+            st.integers(0, 5),            # repo id
+            st.integers(0, 3),            # path id
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(ops=ops, n_batches=st.integers(1, 4), salted=st.booleans())
+    def run(ops, n_batches, salted):
+        rows = [
+            (i, op, f"r{r}", f"p{p}", f"c{i}", "py", f"content-{r}-{p}-{i}", "conn_a", None)
+            for i, (r, p, op) in enumerate(ops)
+        ]
+        events = spark.createDataFrame(
+            rows,
+            "lsn long, op string, repo string, path string, commit string, "
+            "lang string, content string, source_connector string, ts timestamp",
+        )
+        ap = CDCApplier(
+            spark,
+            tempfile.mkdtemp(prefix="cdc_prop_") + "/repos",
+            buckets=2,
+            hot_key_salt=4 if salted else None,
+        )
+        replay_batch(ap, events, n_batches=n_batches)
+        assert _sha(_engine_state(ap)) == _sha(_python_oracle(events.collect()))
+
+    run()

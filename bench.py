@@ -99,6 +99,34 @@ def main() -> None:
     results["cdc_replay"] = round(cdc_sec, 3)
     events_per_sec = CDC_EVENTS / cdc_sec
 
+    # streaming-native probe: the same events staged as parquet and
+    # applied through the real Structured Streaming readStream ->
+    # foreachBatch -> MERGE path (availableNow + checkpoint), 4
+    # micro-batches — the north_star's invocation shape, including
+    # checkpoint/commit-log overhead the batch probe doesn't pay
+    stage = tempfile.mkdtemp(prefix="bench_cdc_src_")
+    events.repartition(8).write.mode("overwrite").parquet(stage)
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+    stream_sec = float("inf")
+    for _ in range(reps):
+        root = tempfile.mkdtemp(prefix="bench_cdc_stream_")
+        applier = CDCApplier(
+            spark, f"{root}/repos", buckets=32, assume_dense_batches=True
+        )
+        t0 = time.time()
+        q = applier.stream(
+            stage, f"{root}/ckpt", schema=schema, max_files_per_trigger=2
+        )
+        q.awaitTermination(600)
+        stream_sec = min(stream_sec, time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+    results["cdc_stream"] = round(stream_sec, 3)
+    stream_events_per_sec = CDC_EVENTS / stream_sec
+    shutil.rmtree(stage, ignore_errors=True)
+
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -109,6 +137,7 @@ def main() -> None:
                 "queries": results,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "cdc_events_per_sec": round(events_per_sec, 1),
+                "cdc_stream_events_per_sec": round(stream_events_per_sec, 1),
                 "cpus": cpus,
                 "reps": reps,
             }

@@ -111,7 +111,9 @@ class CDCApplier:
 
     # --- one micro-batch ---------------------------------------------------------
 
-    def apply_batch(self, batch: DataFrame, epoch_id: int | str) -> dict:
+    def apply_batch(
+        self, batch: DataFrame, epoch_id: int | str, use_observation: bool = True
+    ) -> dict:
         """Apply one micro-batch exactly-once; returns lineage stats.
 
         Two Spark jobs per batch, neither a full-width re-scan:
@@ -127,6 +129,15 @@ class CDCApplier:
         job itself via ``Observation`` — the round-1 separate stats
         aggregation over (lsn, op, repo, path) is gone.
 
+        ``use_observation=False`` computes those stats with an explicit
+        column-pruned (lsn, op) aggregation job instead. The streaming
+        path REQUIRES this: ``Observation.get`` completes via a
+        QueryExecutionListener event, and listener events for actions
+        run inside a foreachBatch callback are not reliably delivered
+        (micro-batch executions are tagged streaming) — observed hang:
+        ``obs.get`` blocks forever mid-stream. Batch replay keeps the
+        free Observation.
+
         Deletes become TOMBSTONES (not physical removals): the row keeps
         carrying its __max_lsn watermark so a stale replayed update with
         a lower LSN can never resurrect a deleted key — merge-on-read
@@ -137,14 +148,18 @@ class CDCApplier:
             return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
 
         batch = self.table.resolve_feed_columns(batch)
-        obs = Observation(f"cdc-{batch_id}")
-        observed = batch.observe(
-            obs,
+        stat_aggs = [
             F.count(F.lit(1)).alias("rows_applied"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
-        )
+        ]
+        if use_observation:
+            obs = Observation(f"cdc-{batch_id}")
+            observed = batch.observe(obs, *stat_aggs)
+        else:
+            obs = None
+            observed = batch
         upserts = (
             observed.withColumn("__deleted", F.col("op") == "delete")
             .withColumn("__max_lsn", F.col("lsn"))
@@ -158,7 +173,10 @@ class CDCApplier:
             touched=list(range(self.table.buckets)) if self.assume_dense_batches else None,
             salt=self.hot_key_salt,
         )
-        stats = obs.get  # blocks until the merge's first action finishes
+        if obs is not None:
+            stats = obs.get  # blocks until the merge's first action finishes
+        else:
+            stats = batch.select("lsn", "op").agg(*stat_aggs).first().asDict()
 
         lineage = {
             "epoch": str(epoch_id),
@@ -252,7 +270,9 @@ class CDCApplier:
         events = reader.parquet(events_path)
         return (
             events.writeStream.foreachBatch(
-                lambda df, epoch_id: self.apply_batch(df, epoch_id)
+                lambda df, epoch_id: self.apply_batch(
+                    df, epoch_id, use_observation=False
+                )
             )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)

@@ -106,13 +106,15 @@ def test_streaming_foreachbatch_with_checkpoint(spark, tmp_path):
     root = str(tmp_path / "lake")
     ap = CDCApplier(spark, f"{root}/repos", buckets=4)
     q = ap.stream(src, str(tmp_path / "ckpt"), schema=schema, max_files_per_trigger=2)
-    q.awaitTermination(120)
+    # MUST terminate: availableNow + the no-Observation streaming stats
+    # path (Observation.get inside foreachBatch hung the query, round 3)
+    assert q.awaitTermination(300) is True
     oracle = _python_oracle(events.collect())
     assert _sha(_engine_state(ap)) == _sha(oracle)
     snap_before = ap.table.current_snapshot_id()
     # restart from checkpoint: nothing new to process
     q2 = ap.stream(src, str(tmp_path / "ckpt"), schema=schema)
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(300) is True
     assert ap.table.current_snapshot_id() == snap_before
     assert _sha(_engine_state(ap)) == _sha(oracle)
 

@@ -257,3 +257,34 @@ def test_merge_lsn_property_random_streams(spark):
         assert _sha(_engine_state(ap)) == _sha(_python_oracle(events.collect()))
 
     run()
+
+
+def test_streaming_with_partition_lineage(spark, tmp_path):
+    """The full north_star wiring in one: readStream -> foreachBatch ->
+    MERGE with checkpoint, lineage table attached at partition grain.
+    Stream terminates, state matches the oracle, lineage holds one
+    epoch-total row per applied epoch plus per-connector rows that sum
+    to it, each carrying the commit snapshot id."""
+    events = _events(spark, 1200)
+    src = str(tmp_path / "events")
+    events.repartition(4).write.parquet(src)
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+    root = str(tmp_path / "lake")
+    ap = CDCApplier(
+        spark, f"{root}/repos", f"{root}/lineage", buckets=4,
+        lineage_grain="partition",
+    )
+    q = ap.stream(src, str(tmp_path / "ckpt"), schema=schema, max_files_per_trigger=2)
+    assert q.awaitTermination(300) is True
+    assert _sha(_engine_state(ap)) == _sha(_python_oracle(events.collect()))
+    lin = ap.lineage.read().collect()
+    totals = [r for r in lin if r.partition is None]
+    assert len(totals) >= 1
+    assert sum(r.rows_applied for r in totals) == 1200
+    for t in totals:
+        parts = [r for r in lin if r.epoch == t.epoch and r.partition is not None]
+        assert parts and sum(p.rows_applied for p in parts) == t.rows_applied
+        assert all(p.snapshot_id == t.snapshot_id for p in parts)

@@ -922,6 +922,73 @@ def minhash_lsh_dedup(spark, sf):
     )
 
 
+_MINHASH_CANONICAL_ORACLE = f"""
+    with recursive toks as ({_DUCK_TOKS}),
+    grams as ({_duck_grams(5, False)}),
+    hcs as (
+      select doc_id,
+             list_transform(g, s -> struct_pack(
+               c0 := ('0x' || substr(md5(s), 1, 8))::ubigint,
+               c1 := ('0x' || substr(md5(s), 9, 8))::ubigint)) as hs
+      from grams),
+    sig as (
+      select doc_id,
+             list_transform(generate_series(0, 31),
+               i -> list_min(list_transform(hs,
+                 h -> (h.c0 + (2 * h.c1 + 1) * i) % 4294967296))) as sig
+      from hcs),
+    banded as (
+      select doc_id, sig, bands.band as band,
+             md5(array_to_string(sig[bands.band*4+1 : bands.band*4+4], ',')) as bucket
+      from sig cross join (select unnest(generate_series(0, 7)) as band) bands),
+    capped as (
+      select *, row_number() over (partition by band, bucket order by doc_id) as rn
+      from banded),
+    pairs as materialized (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from (select * from capped where rn <= 200) a
+      join (select * from capped where rn <= 200) b using (band, bucket)
+      where a.doc_id < b.doc_id
+        and len(list_filter(generate_series(1, 32), i -> a.sig[i] = b.sig[i])) / 32.0
+            >= 0.5),
+    und as (
+      select id_a as a, id_b as b from pairs
+      union
+      select id_b as a, id_a as b from pairs),
+    reach(a, b) as (
+      select a, a from und
+      union
+      select r.a, u.b from reach r join und u on r.b = u.a),
+    comp as (select a as node, min(b) as component from reach group by a)
+    select d.doc_id,
+           coalesce(c.component, d.doc_id) as canonical_id
+    from documents d left join comp c on d.doc_id = c.node
+"""
+
+
+@query("minhash_canonical_docs", _MINHASH_CANONICAL_ORACLE)
+def minhash_canonical_docs(spark, sf):
+    """The full corpus-dedup composition: MinHash-LSH near-dup pairs
+    (est_jaccard >= 0.5) -> TRUE connected components over the pair
+    graph -> every document mapped to its cluster's canonical (min)
+    doc_id, singletons mapping to themselves. Composes two first-class
+    operators end-to-end; the oracle replays the md5 minhash family
+    AND the transitive closure (recursive CTE), so canonicalization —
+    not just pairing — is hash-checked."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, hash_family="md5"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return d.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+    )
+
+
 _SIMHASH_ORACLE = f"""
     with toks as ({_DUCK_TOKS}),
     grams as ({_duck_grams(3, False)}),

@@ -252,3 +252,37 @@ def test_pii_scrub(spark):
     assert out[2].n_ipv4 == 1 and out[2].n_ssn == 1
     assert out[3].s == rows[2][1]
     assert out[3].n_email == out[3].n_phone == out[3].n_ssn == out[3].n_ipv4 == 0
+
+
+def test_minhash_canonicalization_is_transitive(spark):
+    """A~B and B~C near-dups (no direct A~C bucket needed): connected
+    components folds the chain into ONE cluster canonicalized to the
+    min doc_id; the unrelated doc stays its own canonical."""
+    from dbt_customer360_spark.operators.components import connected_components
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark woods tonight while the moon rises slowly "
+        "over the quiet hills and every small creature settles down to "
+        "sleep beneath the old pine trees near the cold silver river"
+    )
+    b = base.replace("lazy", "sleepy")
+    c = b.replace("moon", "sun")
+    other = "completely different content about spark dataframes and shuffle"
+    df = spark.createDataFrame(
+        [(10, base), (11, b), (12, c), (13, other)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", 32, 8, hash_family="md5")
+    pairs = pairs.filter(F.col("est_jaccard") >= 0.5)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in df.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), on="doc_id", how="left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+        .collect()
+    }
+    assert canon[10] == canon[11] == canon[12] == 10
+    assert canon[13] == 13

@@ -26,6 +26,8 @@ AUDIT = [
     "ann_bruteforce",
     "ann_lsh",
     "emb_cosine_dedup",
+    "pii_scrub_docs",
+    "minhash_canonical_docs",
 ]
 
 RED_FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct"]

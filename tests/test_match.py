@@ -96,3 +96,24 @@ def test_components_reliable_checkpoint_dir(spark, tmp_path):
 
     found = any(files for _, _, files in os.walk(ckdir))
     assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_components_log_rounds_on_long_chain(spark, monkeypatch):
+    """Pointer halving makes convergence O(log diameter): a 200-edge
+    chain must settle in well under the ~200 neighbor-min-only rounds
+    (round-3 change; each round = neighbor-min + label-of-label jump)."""
+    import dbt_customer360_spark.operators.components as C
+
+    names = []
+    orig = C.Observation
+
+    class Counting(orig):
+        def __init__(self, name):
+            names.append(name)
+            super().__init__(name)
+
+    monkeypatch.setattr(C, "Observation", Counting)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(200)], "src long, dst long")
+    comp = {r.node: r.component for r in C.connected_components(chain, max_iter=50).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 201
+    assert len(names) <= 12, names

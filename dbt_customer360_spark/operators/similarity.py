@@ -396,3 +396,23 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization for embedding columns: q_i =
+    round(x_i * 127 / max|x|), dequantize as q_i * scale. At 100TB an
+    fp32 embedding column is the dominant ANN working set; int8 cuts
+    it 4x with ~1% cosine error. Rounding is the engine-stable
+    floor(x + 0.5) (identical IEEE ops on any engine — see plans._q6);
+    zero vectors quantize to scale 0.0 and an all-zero q. Native
+    higher-order functions — JVM-side, no Python in the row path."""
+    v = vec.cast("array<double>")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.when(
+        maxabs > 0,
+        F.transform(
+            v, lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return scale, qvec

@@ -922,6 +922,32 @@ def minhash_lsh_dedup(spark, sf):
     )
 
 
+@query(
+    "quantize_int8_embeddings",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    m as (select vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) as maxabs
+          from v)
+    select vec_id,
+           case when maxabs > 0 then maxabs / 127.0 else 0.0 end as scale,
+           case when maxabs > 0
+                then list_transform(v, x -> cast(floor(x * 127.0 / maxabs + 0.5) as int))
+                else list_transform(v, x -> 0) end as qvec
+    from m
+    """,
+)
+def quantize_int8_embeddings(spark, sf):
+    """Symmetric int8 embedding quantization (similarity.quantize_int8):
+    the fp32->int8 compression step an ANN index runs before serving at
+    scale, hash-checked element-exact against DuckDB (float->double
+    widening is exact; the only rounding is the engine-stable
+    floor(x+0.5))."""
+    e = _t(spark, sf, "embeddings")
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    return e.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
 _MINHASH_CANONICAL_ORACLE = f"""
     with recursive toks as ({_DUCK_TOKS}),
     grams as ({_duck_grams(5, False)}),

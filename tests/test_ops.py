@@ -286,3 +286,20 @@ def test_minhash_canonicalization_is_transitive(spark):
     }
     assert canon[10] == canon[11] == canon[12] == 10
     assert canon[13] == 13
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Dequantized int8 vectors stay within scale/2 per element; zero
+    vectors get scale 0.0 and an all-zero q; q stays in [-127, 127]."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [(1, [float(x) for x in rng.randn(8)]), (2, [0.0] * 8)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    scale, qvec = similarity.quantize_int8(F.col("embedding"))
+    out = {r.vec_id: r for r in df.select("vec_id", scale.alias("s"), qvec.alias("q")).collect()}
+    v = np.array(vecs[0][1])
+    q = np.array(out[1].q)
+    assert np.abs(q).max() <= 127
+    assert np.abs(q * out[1].s - v).max() <= out[1].s / 2 + 1e-12
+    assert out[2].s == 0.0 and all(x == 0 for x in out[2].q)

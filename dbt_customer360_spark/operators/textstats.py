@@ -173,3 +173,56 @@ def pii_scrub_sql(text: str) -> tuple[str, dict[str, str]]:
         counts[name] = f"len(regexp_extract_all({cur}, '{esc}'))"
         cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
     return cur, counts
+
+
+# --- repetition signals (Gopher-style quality filters, Rae et al. '21) --------
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Published repetition-based quality signals for training corpora:
+
+    - ``top_word_frac``: share of the document taken by its single most
+      frequent word (boilerplate/spam marker);
+    - ``dup_2gram_frac``: 1 - distinct/total word 2-grams (internal
+      repetition);
+    - ``mean_word_len``: characters per word.
+
+    Tokenization is dedup._shingles' (strip non-alnum, lower, split) so
+    the DuckDB oracle reuses the shared token fragment. Counts are
+    exact integers; each ratio is ONE double division — bit-stable on
+    any engine. Native expressions end-to-end (word histogram via
+    aggregate over a map, no explode/shuffle: the whole feature row is
+    computed inside the scan stage)."""
+    from dbt_customer360_spark.operators.dedup import _shingles
+
+    words = _shingles(text, n=1)
+    n_words = F.greatest(F.size(words), F.lit(1))
+    # top word count = longest equal run in the SORTED word array — one
+    # O(n log n) sort + one linear fold (a map-histogram fold would be
+    # quadratic per document at real document lengths)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top = F.aggregate(
+        F.array_sort(words),
+        acc0,
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    grams2 = _shingles(text, n=2)
+    n2 = F.greatest(F.size(grams2), F.lit(1))
+    return {
+        "top_word_frac": top.cast("double") / n_words,
+        "dup_2gram_frac": (n2 - F.size(F.array_distinct(grams2))).cast("double") / n2,
+        "mean_word_len": F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / n_words,
+    }

@@ -948,6 +948,40 @@ def quantize_int8_embeddings(spark, sf):
     return e.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
 
 
+_REPETITION_ORACLE = f"""
+    with toks as ({_DUCK_TOKS}),
+    g2 as ({_duck_grams(2, False)}),
+    words as (select doc_id, unnest(ws) as w from toks),
+    wc as (select doc_id, w, count(*) as n from words group by 1, 2),
+    top as (select doc_id, max(n) as top_n, sum(n) as n_words from wc group by doc_id),
+    lens as (select doc_id,
+                    list_sum(list_transform(ws, x -> length(x))) as chars,
+                    greatest(len(ws), 1) as nw
+             from toks),
+    dup2 as (select doc_id,
+                    greatest(len(g), 1) as n2,
+                    len(g) - len(list_distinct(g)) as dups
+             from g2)
+    select t.doc_id,
+           cast(top.top_n as double) / greatest(top.n_words, 1) as top_word_frac,
+           cast(dup2.dups as double) / dup2.n2 as dup_2gram_frac,
+           cast(lens.chars as double) / lens.nw as mean_word_len
+    from toks t join top using (doc_id) join lens using (doc_id) join dup2 using (doc_id)
+"""
+
+
+@query("repetition_quality_docs", _REPETITION_ORACLE)
+def repetition_quality_docs(spark, sf):
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    most-frequent-word share, duplicate word-2-gram fraction, mean word
+    length — exact integer counts, one double division each, computed
+    entirely inside the scan stage (sorted-run fold, no explode/shuffle
+    on the Spark side; the oracle uses unnest+group-by, same values)."""
+    d = _t(spark, sf, "documents")
+    feats = textstats.repetition_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
 _MINHASH_CANONICAL_ORACLE = f"""
     with recursive toks as ({_DUCK_TOKS}),
     grams as ({_duck_grams(5, False)}),

@@ -303,3 +303,19 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
     assert np.abs(q).max() <= 127
     assert np.abs(q * out[1].s - v).max() <= out[1].s / 2 + 1e-12
     assert out[2].s == 0.0 and all(x == 0 for x in out[2].q)
+
+
+def test_repetition_features(spark):
+    """Hand-checked Gopher-style signals: 'a a a b' -> top word 3/4,
+    2-grams [aa,aa,ab] -> 1 dup of 3; clean text scores low."""
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    feats = textstats.repetition_features(F.col("text"))
+    out = {r.doc_id: r for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()}
+    assert out[1].top_word_frac == 0.75
+    assert abs(out[1].dup_2gram_frac - 1 / 3) < 1e-12
+    assert out[1].mean_word_len == 1.0
+    assert abs(out[2].top_word_frac - 1 / 6) < 1e-12
+    assert out[2].dup_2gram_frac == 0.0

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "name_titles_strip",
     "street_suffix_expand",
     "pii_scrub_docs",
+    "repetition_quality_docs",
+    "minhash_canonical_docs",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))
@@ -54,7 +56,9 @@ CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))
 
 def main() -> None:
     from dbt_customer360_spark.session import get_spark
-    from dbt_customer360_spark.plans.queries import QUERIES
+    from dbt_customer360_spark.plans.queries import EXTRA_QUERIES, QUERIES
+
+    roster = {**QUERIES, **EXTRA_QUERIES}
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -71,7 +75,7 @@ def main() -> None:
     results: dict[str, float] = {}
     for _ in range(reps):
         for name in BENCH_QUERIES:
-            fn = QUERIES[name]
+            fn = roster[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)

@@ -109,11 +109,15 @@ class LakeTable:
         # past us fails the create instead of silently discarding the
         # winner's file lists under a higher id
         sid = manifest["snapshot_id"] + 1
-        manifest["snapshot_id"] = sid
         path = os.path.join(self.root, "snapshots", f"{sid}.json")
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "snapshots"))
         with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+            # serialize a COPY carrying the new id; the caller's dict is
+            # only bumped after the link lands, so a conflicted manifest
+            # still targets the same sid and a naive retry re-conflicts
+            # instead of landing at winner+1 and clobbering the winner's
+            # file lists
+            json.dump({**manifest, "snapshot_id": sid}, f)
         try:
             os.link(tmp, path)  # atomic create-if-absent (fails on conflict)
         except FileExistsError:
@@ -123,6 +127,7 @@ class LakeTable:
                 "re-read the table state and retry the operation"
             )
         os.remove(tmp)
+        manifest["snapshot_id"] = sid
         return sid
 
     def committed_batch_ids(self) -> set[str]:

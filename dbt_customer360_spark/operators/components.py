@@ -44,7 +44,12 @@ def connected_components(
         if checkpoint_dir is None:
             return df.localCheckpoint()
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
+        # setCheckpointDir stores <dir>/<random-uuid> (possibly with a
+        # file: scheme), so an equality guard NEVER matches and every
+        # lineage cut would mint a fresh uuid subdir — compare by
+        # containment so the dir is set exactly once per context
+        cur = sc.getCheckpointDir()
+        if cur is None or checkpoint_dir.rstrip("/") not in cur:
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint()
 

@@ -195,7 +195,10 @@ def repetition_features(text: Column) -> dict[str, Column]:
     computed inside the scan stage)."""
     from dbt_customer360_spark.operators.dedup import _shingles
 
-    words = _shingles(text, n=1)
+    # _shingles' cnt<n fallback yields [""] for a zero-word doc; strip it
+    # so the top-run fold scores an empty doc 0, not 1 (oracle drops the
+    # doc from its words CTE and coalesces to 0 — must agree)
+    words = F.array_remove(_shingles(text, n=1), "")
     n_words = F.greatest(F.size(words), F.lit(1))
     # top word count = longest equal run in the SORTED word array — one
     # O(n log n) sort + one linear fold (a map-histogram fold would be

@@ -171,7 +171,10 @@ class Customer360Pipeline:
         if self.config.checkpoint_dir is None:
             return df.localCheckpoint()
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != self.config.checkpoint_dir:
+        # getCheckpointDir returns <dir>/<uuid>; equality never matches
+        # (see components.ckpt) — containment guard sets the dir once
+        cur = sc.getCheckpointDir()
+        if cur is None or self.config.checkpoint_dir.rstrip("/") not in cur:
             sc.setCheckpointDir(self.config.checkpoint_dir)
         return df.checkpoint()
 

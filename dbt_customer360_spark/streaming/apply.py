@@ -220,11 +220,16 @@ class CDCApplier:
                 rows += [
                     (
                         str(epoch_id),
-                        str(r[0]),
+                        # NULL partition values get an explicit label —
+                        # str(None) would mint a bogus 'None' partition,
+                        # and NULL itself is the epoch-total row marker
+                        str(r[0]) if r[0] is not None else "__null_partition__",
                         int(r["n"]),
                         int(r["d"]),
-                        int(r["lo"]),
-                        int(r["hi"]),
+                        # a partition whose lsn values are all NULL yields
+                        # NULL lo/hi — mirror the epoch-total row's guards
+                        int(r["lo"]) if r["lo"] is not None else None,
+                        int(r["hi"]) if r["hi"] is not None else None,
                         int(sid),
                     )
                     for r in per_part

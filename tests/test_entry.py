@@ -18,9 +18,38 @@ def test_every_query_has_callable_and_oracle_keys_subset(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 30
+    # the external gate attests only the FIRST 50 registrations; entries
+    # 51+ silently get NO verdict (round-3 failure mode) — hard cap
+    assert len(qs) <= 50, f"{len(qs)} queries registered; driver cap is 50"
     assert set(oracles) <= set(qs)
     # the vast majority must be oracle-checked, not rows-only
     assert len(oracles) >= 0.75 * len(qs)
+
+
+def test_must_attest_queries_inside_driver_cap(spark):
+    # round-2/3 red or dropped rows MUST hold a driver-attested slot
+    first50 = list(entrymod.queries())[:50]
+    for name in [
+        "customer_metrics_rollup",
+        "sha256_invariant",
+        "lang_normalize",
+        "quantize_int8_embeddings",
+    ]:
+        assert name in first50, name
+
+
+def test_local_gate_rejects_non_scalar_cells():
+    """The driver's pandas canonicalizer crashes on array cells; the
+    local gate must REFUSE them (str(v) green-lit driver-red rows in
+    rounds 2 and 3) so roster projections serialize vectors instead."""
+    import pytest
+
+    from tools.check_oracles import table_hash
+
+    with pytest.raises(TypeError):
+        table_hash([(1, [1, 2, 3])], ["id", "vec"])
+    # scalars still hash fine
+    assert table_hash([(1, "a")], ["id", "s"])
 
 
 def test_sample_queries_run_at_sf0001(spark):

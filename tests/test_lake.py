@@ -266,7 +266,14 @@ def test_commit_conflict_detected_not_overwritten(spark):
         t._commit(stale)
     with open(os.path.join(t.root, "snapshots", "2.json")) as f:
         assert "winner" in json.load(f)["batch_ids"]
+    # the conflicted manifest is NOT bumped: a naive retry with the SAME
+    # dict must re-target snapshot 2 and re-conflict (a pre-bumped dict
+    # would land at 3 and silently discard the winner's file lists)
+    assert stale["snapshot_id"] == 1
+    with pytest.raises(CommitConflict):
+        t._commit(stale)
     # retry against a fresh read succeeds as snapshot 3
     retry = t._read_manifest()
     retry["batch_ids"].append("loser")
     assert t._commit(retry) == 3
+    assert retry["snapshot_id"] == 3  # successful commit bumps the caller's dict

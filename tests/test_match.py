@@ -96,6 +96,28 @@ def test_components_reliable_checkpoint_dir(spark, tmp_path):
 
     found = any(files for _, _, files in os.walk(ckdir))
     assert found, "no checkpoint files written under checkpoint_dir"
+    # the dir must be set ONCE: setCheckpointDir stores <dir>/<uuid>, so
+    # a broken equality guard re-sets it per lineage cut and mints a
+    # fresh uuid subdir per round (unbounded checkpoint growth at scale)
+    uuid_dirs = [d for d in os.listdir(ckdir) if os.path.isdir(os.path.join(ckdir, d))]
+    assert len(uuid_dirs) == 1, uuid_dirs
+
+
+def test_prefix_group_tags_do_not_collide(spark):
+    """Tagged-key join hardening: group tags where one is a prefix of
+    the other ('g' / 'g2') plus compensating value bytes ('2x' / 'x')
+    concatenate identically WITHOUT a delimiter — the \\x01 separator
+    keeps them distinct, so no cross-group pair forms."""
+    left = spark.createDataFrame([(1, "2x", None)], "lid long, a string, b string")
+    right = spark.createDataFrame([(10, None, "x")], "rid long, a string, b string")
+    rules = [
+        MatchRule("ra", "a", "a", group="g"),
+        MatchRule("rb", "b", "b", group="g2"),
+    ]
+    assert candidate_pairs(left, right, "lid", "rid", rules).count() == 0
+    # sanity: same-group equal values DO pair
+    right2 = spark.createDataFrame([(10, "2x", None)], "rid long, a string, b string")
+    assert candidate_pairs(left, right2, "lid", "rid", rules).count() == 1
 
 
 def test_components_log_rounds_on_long_chain(spark, monkeypatch):

@@ -319,3 +319,29 @@ def test_repetition_features(spark):
     assert out[1].mean_word_len == 1.0
     assert abs(out[2].top_word_frac - 1 / 6) < 1e-12
     assert out[2].dup_2gram_frac == 0.0
+
+
+def test_repetition_features_tokenless_doc_matches_oracle(spark):
+    """A doc that tokenizes to ZERO words (empty / punctuation-only)
+    must yield (0,0,0) on BOTH engines — the oracle's words-derived CTE
+    used to inner-join such docs away (round-3 advice)."""
+    import duckdb
+
+    from dbt_customer360_spark.plans.queries import _REPETITION_ORACLE
+
+    rows = [(1, ""), (2, "!!! ... ---"), (3, "ok ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = textstats.repetition_features(F.col("text"))
+    got = {
+        r.doc_id: (r.top_word_frac, r.dup_2gram_frac, r.mean_word_len)
+        for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert got[1] == (0.0, 0.0, 0.0) and got[2] == (0.0, 0.0, 0.0)
+
+    con = duckdb.connect()
+    con.sql("create table documents as select * from (values (1, ''), (2, '!!! ... ---'), (3, 'ok ok')) t(doc_id, text)")
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(_REPETITION_ORACLE).fetchall()
+    }
+    assert oracle == got

@@ -13,8 +13,13 @@ can never drift.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -176,6 +181,51 @@ def pii_scrub_sql(text: str) -> tuple[str, dict[str, str]]:
 
 
 # --- repetition signals (Gopher-style quality filters, Rae et al. '21) --------
+
+
+def repetition_features_arrow(text: Column) -> Column:
+    """Arrow pandas-UDF twin of :func:`repetition_features`, returning
+    one struct<top_word_frac,dup_2gram_frac,mean_word_len:double>.
+
+    Same tokenizer (dedup._shingles': strip non-alnum, lower, split) and
+    the same arithmetic — exact integer counts with ONE double division
+    per feature — so values are bit-identical to the JVM fold (pinned by
+    test). The JVM path's per-element ``aggregate`` fold allocates a
+    fresh struct per word with no codegen; a Counter over the token list
+    is ~10x faster at real document lengths (same trade as the minhash
+    md5 family, dedup._minhash_md5_arrow). NULL text yields NULL fields.
+    """
+    @pandas_udf("top_word_frac double, dup_2gram_frac double, mean_word_len double")
+    def _feats(texts: pd.Series) -> pd.DataFrame:
+        # strip BEFORE lowering, like the JVM twin: 'K' (Kelvin sign)
+        # and friends lowercase INTO ascii, so lower-then-strip would
+        # keep characters the JVM path discards
+        strip = re.compile(r"[^a-zA-Z0-9 ]")
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None))
+                continue
+            words = strip.sub(" ", t).lower().split()
+            nw = max(len(words), 1)
+            if words:
+                top = max(Counter(words).values())
+                chars = sum(map(len, words))
+            else:
+                top = 0
+                chars = 0
+            if len(words) < 2:
+                grams = [" ".join(words)]
+            else:
+                grams = [" ".join(p) for p in zip(words, words[1:])]
+            n2 = max(len(grams), 1)
+            dups = len(grams) - len(set(grams))
+            rows.append((top / nw, dups / n2, chars / nw))
+        return pd.DataFrame(
+            rows, columns=["top_word_frac", "dup_2gram_frac", "mean_word_len"]
+        )
+
+    return _feats(text)
 
 
 def repetition_features(text: Column) -> dict[str, Column]:

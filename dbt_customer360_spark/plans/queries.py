@@ -1016,8 +1016,12 @@ def repetition_quality_docs(spark, sf):
     entirely inside the scan stage (sorted-run fold, no explode/shuffle
     on the Spark side; the oracle uses unnest+group-by, same values)."""
     d = _t(spark, sf, "documents")
-    feats = textstats.repetition_features(F.col("text"))
-    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    # Arrow fast path (one struct UDF evaluation, expanded after) —
+    # bit-identical to the JVM fold twin, pinned by
+    # test_repetition_arrow_equals_jvm_twin
+    return d.select(
+        "doc_id", textstats.repetition_features_arrow(F.col("text")).alias("__f")
+    ).select("doc_id", "__f.*")
 
 
 _MINHASH_CANONICAL_ORACLE = f"""

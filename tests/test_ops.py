@@ -321,6 +321,31 @@ def test_repetition_features(spark):
     assert out[2].dup_2gram_frac == 0.0
 
 
+def test_repetition_arrow_equals_jvm_twin(spark):
+    """The Arrow repetition path must be BIT-identical to the JVM fold
+    on real sf0.001 documents plus adversarial edges (empty, tokenless,
+    repeated words, single word) — same guarantee the minhash md5
+    family carries."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    edge = spark.createDataFrame(
+        [(9001, ""), (9002, "!!! .."), (9003, "x"), (9004, "a a a a b"), (9005, "Tab\there\nnewline")],
+        "doc_id long, text string",
+    ).select("doc_id", "text")
+    df = docs.select("doc_id", "text").unionByName(edge)
+    feats = textstats.repetition_features(F.col("text"))
+    jvm = {
+        r.doc_id: (r.top_word_frac, r.dup_2gram_frac, r.mean_word_len)
+        for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    arrow = {
+        r.doc_id: (r.top_word_frac, r.dup_2gram_frac, r.mean_word_len)
+        for r in df.select(
+            "doc_id", textstats.repetition_features_arrow(F.col("text")).alias("f")
+        ).select("doc_id", "f.*").collect()
+    }
+    assert jvm == arrow  # exact equality, not approx
+
+
 def test_repetition_features_tokenless_doc_matches_oracle(spark):
     """A doc that tokenizes to ZERO words (empty / punctuation-only)
     must yield (0,0,0) on BOTH engines — the oracle's words-derived CTE

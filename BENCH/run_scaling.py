@@ -244,8 +244,18 @@ at any parallelism).
 Machine: 32 cores, 128 GiB, PySpark 4.1.2, local mode (single JVM).
 Date: {time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}.
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(HERE, "BASELINE.md")
+    # preserve sections other harnesses append (e.g. run_skew.py's
+    # "## Hot-key skew" block) across rewrites of the scaling header
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## Hot-key skew")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(md)
 
 

@@ -24,6 +24,8 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dbt_customer360_spark.session import local_df
+
 FIRST = ["James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
          "Linda", "William", "Elizabeth", "David", "Barbara", "Richard", "Susan"]
 LAST = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
@@ -99,7 +101,8 @@ def marketo_leads(spark: SparkSession, n: int = 120) -> DataFrame:
                 3 * p,
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark,
+        
         rows,
         "lead_id long, email string, first_name string, last_name string, "
         "company string, inferred_company string, phone string, "
@@ -155,7 +158,8 @@ def stripe_customers(spark: SparkSession, n: int = 120) -> DataFrame:
                 _ts(p, 3),
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark,
+        
         rows,
         "customer_id string, email string, customer_name string, "
         "shipping_name string, phone string, shipping_phone string, "
@@ -194,7 +198,8 @@ def zendesk_users(spark: SparkSession, n: int = 120) -> DataFrame:
                 _ts(p, 3),
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark,
+        
         rows,
         "user_id long, organization_id long, email string, name string, "
         "phone string, role string, is_active boolean, is_suspended boolean, "
@@ -226,7 +231,8 @@ def zendesk_ticket_metrics(spark: SparkSession, n: int = 120) -> DataFrame:
                 float((p % 3) + 3) if resolved else None,
             )
         )
-    return spark.createDataFrame(
+    return local_df(spark,
+        
         rows,
         "user_id long, count_created_tickets long, count_resolved_tickets long, "
         "count_reopened_tickets long, avg_ticket_priority double, "
@@ -240,7 +246,8 @@ def zendesk_organizations(spark: SparkSession) -> DataFrame:
     rows = [
         (i + 1, c, _ts(i, 6), _ts(i, 5)) for i, c in enumerate(COMPANIES)
     ]
-    return spark.createDataFrame(
+    return local_df(spark,
+        
         rows,
         "organization_id long, name string, updated_at timestamp, created_at timestamp",
     )

@@ -49,6 +49,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dbt_customer360_spark.session import local_df
+
 
 class CommitConflict(RuntimeError):
     """A concurrent writer published the snapshot id this commit was
@@ -155,7 +157,7 @@ class LakeTable:
         files = [os.path.join(self.root, "data", p) for b in m["files"].values() for p in b]
         schema_ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
         if not files:
-            return self.spark.createDataFrame([], schema_ddl or "dummy string")
+            return local_df(self.spark, [], schema_ddl or "dummy string")
         # reading with the manifest schema NULL-backfills columns added
         # after a file was written (no mergeSchema footer pass needed)
         df = self.spark.read.schema(schema_ddl).parquet(*files)
@@ -492,6 +494,43 @@ class LakeTable:
                 shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
                 removed.append(entry)
         return removed
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Iceberg-style rollback: make the table state equal to an
+        older kept snapshot by committing a NEW snapshot that carries
+        that manifest's files/schema/keys/batch_ids — history moves
+        forward (time travel to the interim snapshots still works until
+        expiry), the optimistic-concurrency protocol is untouched, and
+        the batch_id ledger reverts with the data so a replayed stream
+        re-applies everything after the rollback point exactly once.
+
+        Refuses when the target snapshot's manifest or any data file it
+        references has been removed by :meth:`expire_snapshots`
+        (rollback past the expiry horizon is impossible under vacuum,
+        as in Iceberg)."""
+        try:
+            target = self._read_manifest(snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"rollback_to({snapshot_id}): snapshot manifest expired; "
+                "cannot roll back past the expiry horizon"
+            ) from None
+        missing = [
+            p
+            for paths in target["files"].values()
+            for p in paths
+            if not os.path.exists(os.path.join(self.root, "data", p))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback_to({snapshot_id}): {len(missing)} data file(s) expired, "
+                f"e.g. {missing[0]}; cannot roll back past the expiry horizon"
+            )
+        m = self._read_manifest()
+        for field in ("files", "schema", "keys", "batch_ids", "column_mapping", "mapping_version", "bucket_fn"):
+            if field in target:
+                m[field] = target[field]
+        return self._commit(m)
 
     # --- schema evolution ----------------------------------------------------------
 

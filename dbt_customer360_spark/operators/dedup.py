@@ -112,7 +112,10 @@ def _minhash_md5_arrow(text: Column, num_hashes: int, shingle_n: int) -> Column:
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
-        strip = re.compile(r"[^a-z0-9 ]")
+        # strip BEFORE lowering, matching the JVM/_DUCK_TOKS order:
+        # some non-ascii chars (Kelvin sign) lowercase INTO ascii, so
+        # lower-then-strip would keep tokens the JVM path discards
+        strip = re.compile(r"[^a-zA-Z0-9 ]")
         probes = np.arange(num_hashes, dtype=np.uint64)
         mask = np.uint64(4294967295)
         out = []
@@ -120,7 +123,7 @@ def _minhash_md5_arrow(text: Column, num_hashes: int, shingle_n: int) -> Column:
             if t is None:
                 out.append(None)
                 continue
-            words = strip.sub(" ", t.lower()).split()
+            words = strip.sub(" ", t).lower().split()
             if len(words) < n:
                 grams = [" ".join(words)]
             else:
@@ -250,13 +253,16 @@ def simhash(text: Column, shingle_n: int = 3, hash_family: str = "blake2b") -> C
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        strip = re.compile(r"[^a-z0-9 ]")
+        # strip BEFORE lowering, matching the JVM/_DUCK_TOKS order:
+        # some non-ascii chars (Kelvin sign) lowercase INTO ascii, so
+        # lower-then-strip would keep tokens the JVM path discards
+        strip = re.compile(r"[^a-zA-Z0-9 ]")
         weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            words = strip.sub(" ", t.lower()).split()
+            words = strip.sub(" ", t).lower().split()
             if len(words) < n:
                 grams = [" ".join(words)]
             else:

@@ -31,6 +31,7 @@ from dbt_customer360_spark.functions import normalize as N
 from dbt_customer360_spark.operators import golden
 from dbt_customer360_spark.operators.components import connected_components
 from dbt_customer360_spark.operators.match import MatchRule, candidate_pairs
+from dbt_customer360_spark.session import local_df
 from dbt_customer360_spark.sources import seeds
 
 
@@ -1117,7 +1118,7 @@ class Customer360Pipeline:
         so every downstream operator runs unchanged with zero rows from
         that branch; an enabled source must actually be provided."""
         if not enabled:
-            return self.spark.createDataFrame([], RAW_SCHEMAS[schema_key])
+            return local_df(self.spark, [], RAW_SCHEMAS[schema_key])
         if df is None:
             raise ValueError(f"{schema_key} input required (source enabled in config)")
         return df

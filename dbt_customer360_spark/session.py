@@ -56,3 +56,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows: list, ddl: str):
+    """JVM-backed local DataFrame from driver-side rows.
+
+    ``createDataFrame(list_of_tuples)`` yields a Python-RDD-backed plan:
+    every ACTION on it round-trips a Python worker per task — measured
+    ~5s per 1-row WRITE job in this environment (the write path defeats
+    worker reuse), which taxed every lineage append and every
+    fixture-fed query. Routing the same rows through pandas + Arrow
+    produces a JVM ``LocalRelation`` (warm writes ~0.2s): all-object
+    dtype keeps None as proper nulls, and the explicit DDL schema drives
+    Arrow's type coercion so nullable longs never become float NaNs.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(ddl)
+    names = schema.fieldNames()
+    pdf = pd.DataFrame(rows if rows else None, columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema=schema)

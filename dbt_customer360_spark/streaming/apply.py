@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_customer360_spark.lake.table import LakeTable
+from dbt_customer360_spark.session import local_df
 
 KEYS = ["repo", "path"]
 
@@ -234,7 +235,11 @@ class CDCApplier:
                     )
                     for r in per_part
                 ]
-            row = self.spark.createDataFrame(
+            # local_df (Arrow LocalRelation), NOT createDataFrame: a
+            # Python-RDD-backed 1-row write costs ~5s/job in this env
+            # and would tax EVERY micro-batch (session.local_df)
+            row = local_df(
+                self.spark,
                 rows,
                 "epoch string, partition string, rows_applied long, deletes long, "
                 "min_lsn long, max_lsn long, snapshot_id long",

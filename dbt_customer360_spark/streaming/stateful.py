@@ -1,6 +1,10 @@
 """Structured Streaming operators beyond foreachBatch MERGE.
 
-Two first-class streaming shapes the task brief calls for:
+First-class streaming shapes the task brief calls for:
+
+- :func:`streaming_exact_dedup` — exact duplicate suppression with
+  bounded state (``dropDuplicatesWithinWatermark``): the streaming
+  twin of the batch hash-groupBy dedup, state evicted by watermark.
 
 - :func:`windowed_change_counts` — event-time windowed aggregation
   with a watermark: per (window, repo) change counts that tolerate
@@ -63,6 +67,28 @@ def windowed_change_counts(
             "n_deletes",
         )
     )
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one state row per distinct
+    key and evicts it once the event-time watermark passes the row's
+    timestamp plus ``delay`` — the streaming twin of the batch
+    hash-groupBy exact dedup, for at-least-once CDC feeds that can
+    redeliver the same (key, lsn) event within the lateness bound.
+
+    Plain ``dropDuplicates`` on a stream grows state forever (every key
+    ever seen); the watermark variant is the 100 TB-viable form — state
+    is O(keys arriving within one lateness window). Works on a batch
+    frame too (unified semantics: the watermark is ignored and it
+    degrades to exact dropDuplicates)."""
+    keys = keys or ["repo", "path", "lsn"]
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def _lsn_filter_fn(

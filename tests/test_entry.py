@@ -52,6 +52,34 @@ def test_local_gate_rejects_non_scalar_cells():
     assert table_hash([(1, "a")], ["id", "s"])
 
 
+def test_bench_roster_names_resolve():
+    """Every bench.py query name must exist in QUERIES or EXTRA_QUERIES
+    (a dangling name would crash the per-round bench run)."""
+    import bench
+
+    from dbt_customer360_spark.plans.queries import EXTRA_QUERIES, QUERIES
+
+    known = set(QUERIES) | set(EXTRA_QUERIES)
+    missing = [n for n in bench.BENCH_QUERIES if n not in known]
+    assert not missing, missing
+
+
+def test_roster_schemas_are_scalar_only(spark):
+    """The external canonicalizer crashes on array/map/struct cells, so
+    EVERY attested roster query must project scalars only (vectors
+    serialize via array_join). Schema-only: builds each plan at sf0.001
+    without executing it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in entrymod.queries().items():
+        schema = fn(spark, SF).schema
+        for field in schema.fields:
+            assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{field.name} is {field.dataType.simpleString()}; "
+                "serialize it (F.array_join / to_json) for the roster"
+            )
+
+
 def test_sample_queries_run_at_sf0001(spark):
     qs = entrymod.queries()
     for name in ["pricing_summary", "match_candidates", "golden_event_type", "ann_bruteforce"]:

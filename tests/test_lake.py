@@ -24,6 +24,38 @@ def test_merge_upsert_and_delete(spark):
     assert got == {("r1", "a"): 10, ("r1", "b"): 2, ("r3", "z"): 7}
 
 
+def test_rollback_to_restores_state_and_replay_ledger(spark):
+    """Iceberg-style rollback: a new forward snapshot carries the old
+    manifest, so table state AND the batch_id ledger revert together —
+    a stream replayed from the rollback point re-applies the rolled-back
+    batch instead of being skipped as a duplicate."""
+    import pytest
+
+    t = _table(spark)
+    df1 = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
+    df2 = spark.createDataFrame([("r", "p", 2), ("r", "q", 9)], "repo string, path string, v int")
+    s1 = t.merge(df1, ["repo", "path"], batch_id="b1")
+    s2 = t.merge(df2, ["repo", "path"], batch_id="b2")
+    s3 = t.rollback_to(s1)
+    assert s3 == s2 + 1  # history moves FORWARD
+    assert {(r.repo, r.path, r.v) for r in t.read().collect()} == {("r", "p", 1)}
+    # interim snapshot still time-travelable until expiry
+    assert t.read(snapshot_id=s2).count() == 2
+    # ledger reverted: b2 re-applies (not skipped), b1 still skips
+    assert "b2" not in t.committed_batch_ids()
+    t.merge(df2, ["repo", "path"], batch_id="b2")
+    assert {(r.repo, r.path, r.v) for r in t.read().collect()} == {
+        ("r", "p", 2), ("r", "q", 9),
+    }
+    # expiry removes the rollback target's files -> refuse
+    t0 = t._snapshot_ids()[0]
+    for _ in range(3):  # churn so old bucket dirs become unreferenced
+        t.compact(["repo", "path"])
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expiry horizon"):
+        t.rollback_to(t0)
+
+
 def test_idempotent_batch_ids(spark):
     t = _table(spark)
     df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")

@@ -71,6 +71,32 @@ def test_windowed_counts_drop_late_events(spark):
     assert rows.get(0) == 2  # late 10:00:30 event was dropped
 
 
+def test_streaming_exact_dedup_within_watermark(spark):
+    """At-least-once redelivery of the SAME (repo, path, lsn) across
+    triggers is suppressed while inside the lateness bound; distinct
+    lsns pass. State is bounded by the watermark (eviction itself is a
+    timing property; the operator contract pinned here is dedup)."""
+    src = tempfile.mkdtemp(prefix="stream_dedup_")
+    _write_batch(spark, src, [
+        ("r1", "p", 1, "insert", "v1", _ts(0)),
+        ("r1", "p", 1, "insert", "v1", _ts(0)),   # in-batch duplicate
+        ("r1", "p", 2, "update", "v2", _ts(1)),
+    ])
+    _write_batch(spark, src, [
+        ("r1", "p", 2, "update", "v2", _ts(1)),   # cross-trigger redelivery
+        ("r1", "p", 3, "update", "v3", _ts(2)),
+        ("r2", "q", 1, "insert", "w1", _ts(2)),
+    ])
+    out = _run_two_trigger_stream(
+        spark, src, lambda df: stateful.streaming_exact_dedup(df, delay="10 minutes"),
+        "dedup_sink",
+    )
+    rows = [(r.repo, r.path, r.lsn) for r in out.collect()]
+    assert sorted(rows) == [
+        ("r1", "p", 1), ("r1", "p", 2), ("r1", "p", 3), ("r2", "q", 1),
+    ]
+
+
 def test_stateful_lsn_filter_suppresses_stale_replays(spark):
     src = tempfile.mkdtemp(prefix="stream_lsn_")
     _write_batch(spark, src, [

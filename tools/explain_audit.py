@@ -27,6 +27,8 @@ AUDIT = [
     "ann_lsh",
     "emb_cosine_dedup",
     "pii_scrub_docs",
+    "repetition_quality_docs",
+    "quantize_int8_embeddings",
     "minhash_canonical_docs",
 ]
 
@@ -37,7 +39,7 @@ WHITELIST = {"ann_bruteforce": ["BroadcastNestedLoopJoin"]}
 
 
 def main() -> int:
-    from dbt_customer360_spark.plans.queries import QUERIES
+    from dbt_customer360_spark.plans.queries import EXTRA_QUERIES, QUERIES
     from dbt_customer360_spark.session import get_spark
 
     sf = "/root/testdata/sf0.001"
@@ -46,7 +48,7 @@ def main() -> int:
     sections = []
     flagged = []
     for name in AUDIT:
-        df = QUERIES[name](spark, sf)
+        df = {**QUERIES, **EXTRA_QUERIES}[name](spark, sf)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )

@@ -82,11 +82,22 @@ def _spark_submit() -> str:
 def _run_job(zip_path: str, events_dir: str, salt: int | None, n_events: int) -> dict:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix=f"skew_{salt or 0}_", dir=shm)
+    # shuffle on DISK, not tmpfs: shuffle temp files intermittently
+    # vanish mid-job on this host's /dev/shm (ENOENT on temp_shuffle
+    # create); identical setting for both configs keeps the salted vs
+    # unsalted comparison fair
+    shuffle_dir = tempfile.mkdtemp(prefix=f"skew_shuf_{salt or 0}_")
     env = dict(os.environ, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_DRIVER_MEM="24g")
     cmd = [
         _spark_submit(),
         "--master", "local[32]",
-        "--conf", f"spark.local.dir={work}/shuffle",
+        # --driver-memory MUST be on the submit command line: the
+        # session builder's spark.driver.memory is ignored once
+        # spark-submit has already launched the JVM, so without this
+        # the job runs on the 1g default and OOMs (observed as task
+        # aborts + phantom missing temp_shuffle files)
+        "--driver-memory", "24g",
+        "--conf", f"spark.local.dir={shuffle_dir}",
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "cdc_replay_job.py"),
         "--events", events_dir,
@@ -98,15 +109,26 @@ def _run_job(zip_path: str, events_dir: str, salt: int | None, n_events: int) ->
     if salt:
         cmd += ["--hot-key-salt", str(salt)]
     t0 = time.time()
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3000)
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    lines = []
+    for attempt in range(2):  # one retry: transient task aborts happen on this shared host
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3000)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            break
+        shutil.rmtree(f"{work}/repos", ignore_errors=True)
+        shutil.rmtree(f"{work}/lineage", ignore_errors=True)
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        os.makedirs(shuffle_dir, exist_ok=True)
+        print(f"run failed (attempt {attempt + 1}): {out.stderr[-800:]}", file=sys.stderr)
     if not lines:
         shutil.rmtree(work, ignore_errors=True)
-        raise RuntimeError(out.stderr[-3000:])
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+        raise RuntimeError("job failed twice; see stderr above")
     res = json.loads(lines[-1])
     res["events_per_sec"] = n_events / res["wall_sec"]
     res["submit_wall"] = round(time.time() - t0, 1)
     shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
     return res
 
 

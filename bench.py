@@ -103,6 +103,28 @@ def main() -> None:
     results["cdc_replay"] = round(cdc_sec, 3)
     events_per_sec = CDC_EVENTS / cdc_sec
 
+    # lineage-enabled replay (north_star: per-partition lineage rows —
+    # offset range, rows applied, snapshot id — emitted to a metrics
+    # table per micro-batch); near-free since lineage rows became
+    # Arrow LocalRelations (session.local_df)
+    lin_sec = float("inf")
+    for _ in range(reps):
+        root = tempfile.mkdtemp(prefix="bench_cdc_lin_")
+        t0 = time.time()
+        applier = CDCApplier(
+            spark,
+            f"{root}/repos",
+            f"{root}/lineage",
+            buckets=32,
+            assume_dense_batches=True,
+            lineage_grain="partition",
+        )
+        replay_batch(applier, events, n_batches=4)
+        lin_sec = min(lin_sec, time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+    results["cdc_replay_lineage"] = round(lin_sec, 3)
+    lineage_events_per_sec = CDC_EVENTS / lin_sec
+
     # streaming-native probe: the same events staged as parquet and
     # applied through the real Structured Streaming readStream ->
     # foreachBatch -> MERGE path (availableNow + checkpoint), 4
@@ -141,6 +163,7 @@ def main() -> None:
                 "queries": results,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "cdc_events_per_sec": round(events_per_sec, 1),
+                "cdc_lineage_events_per_sec": round(lineage_events_per_sec, 1),
                 "cdc_stream_events_per_sec": round(stream_events_per_sec, 1),
                 "cpus": cpus,
                 "reps": reps,

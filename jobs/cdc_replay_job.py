@@ -16,6 +16,14 @@ Modes:
 - ``stream``: Structured Streaming over the event directory with
   availableNow + checkpoint (resumable, exactly-once).
 - ``batch``: LSN-range micro-batches through the same apply path.
+
+Memory: pass ``--driver-memory`` / ``--executor-memory`` on the
+spark-submit command line. The session factory's
+``spark.driver.memory`` config is applied only when plain ``python``
+launches the JVM; under spark-submit the JVM is already up, the
+setting is silently ignored, and the job runs on the 1g default
+(observed failure mode: heap OOM surfacing as task aborts and
+phantom missing shuffle temp files).
 """
 
 from __future__ import annotations

@@ -90,25 +90,29 @@ def main() -> None:
         spark, n_events=CDC_EVENTS, n_repos=200, paths_per_repo=100
     ).persist()
     events.count()  # materialize generator outside the timed window
-    cdc_sec = float("inf")
-    for _ in range(reps):
+    stage = tempfile.mkdtemp(prefix="bench_cdc_src_")
+    events.repartition(8).write.mode("overwrite").parquet(stage)
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+
+    def probe_replay() -> float:
         root = tempfile.mkdtemp(prefix="bench_cdc_")
         t0 = time.time()
         applier = CDCApplier(
             spark, f"{root}/repos", buckets=32, assume_dense_batches=True
         )
         replay_batch(applier, events, n_batches=4)
-        cdc_sec = min(cdc_sec, time.time() - t0)
+        dt = time.time() - t0
         shutil.rmtree(root, ignore_errors=True)
-    results["cdc_replay"] = round(cdc_sec, 3)
-    events_per_sec = CDC_EVENTS / cdc_sec
+        return dt
 
-    # lineage-enabled replay (north_star: per-partition lineage rows —
-    # offset range, rows applied, snapshot id — emitted to a metrics
-    # table per micro-batch); near-free since lineage rows became
-    # Arrow LocalRelations (session.local_df)
-    lin_sec = float("inf")
-    for _ in range(reps):
+    def probe_lineage() -> float:
+        # lineage-enabled replay (north_star: per-partition lineage rows
+        # — offset range, rows applied, snapshot id — into a metrics
+        # table per micro-batch); near-free since lineage rows became
+        # Arrow LocalRelations (session.local_df)
         root = tempfile.mkdtemp(prefix="bench_cdc_lin_")
         t0 = time.time()
         applier = CDCApplier(
@@ -120,24 +124,16 @@ def main() -> None:
             lineage_grain="partition",
         )
         replay_batch(applier, events, n_batches=4)
-        lin_sec = min(lin_sec, time.time() - t0)
+        dt = time.time() - t0
         shutil.rmtree(root, ignore_errors=True)
-    results["cdc_replay_lineage"] = round(lin_sec, 3)
-    lineage_events_per_sec = CDC_EVENTS / lin_sec
+        return dt
 
-    # streaming-native probe: the same events staged as parquet and
-    # applied through the real Structured Streaming readStream ->
-    # foreachBatch -> MERGE path (availableNow + checkpoint), 4
-    # micro-batches — the north_star's invocation shape, including
-    # checkpoint/commit-log overhead the batch probe doesn't pay
-    stage = tempfile.mkdtemp(prefix="bench_cdc_src_")
-    events.repartition(8).write.mode("overwrite").parquet(stage)
-    schema = (
-        "lsn long, op string, repo string, path string, commit string, "
-        "lang string, content string, source_connector string, ts timestamp"
-    )
-    stream_sec = float("inf")
-    for _ in range(reps):
+    def probe_stream() -> float:
+        # streaming-native probe: the staged events applied through the
+        # real Structured Streaming readStream -> foreachBatch -> MERGE
+        # path (availableNow + checkpoint) — the north_star's invocation
+        # shape, including checkpoint/commit-log overhead the batch
+        # probe doesn't pay
         root = tempfile.mkdtemp(prefix="bench_cdc_stream_")
         applier = CDCApplier(
             spark, f"{root}/repos", buckets=32, assume_dense_batches=True
@@ -147,9 +143,23 @@ def main() -> None:
             stage, f"{root}/ckpt", schema=schema, max_files_per_trigger=2
         )
         q.awaitTermination(600)
-        stream_sec = min(stream_sec, time.time() - t0)
+        dt = time.time() - t0
         shutil.rmtree(root, ignore_errors=True)
+        return dt
+
+    # INTERLEAVED best-of-N, like the query roster: back-to-back reps of
+    # one probe let a noisy minute on this time-shared host poison all
+    # of them at once
+    cdc_sec = lin_sec = stream_sec = float("inf")
+    for _ in range(reps):
+        cdc_sec = min(cdc_sec, probe_replay())
+        lin_sec = min(lin_sec, probe_lineage())
+        stream_sec = min(stream_sec, probe_stream())
+    results["cdc_replay"] = round(cdc_sec, 3)
+    results["cdc_replay_lineage"] = round(lin_sec, 3)
     results["cdc_stream"] = round(stream_sec, 3)
+    events_per_sec = CDC_EVENTS / cdc_sec
+    lineage_events_per_sec = CDC_EVENTS / lin_sec
     stream_events_per_sec = CDC_EVENTS / stream_sec
     shutil.rmtree(stage, ignore_errors=True)
 

@@ -75,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
     from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
 
     spark = get_spark(app="cdc-replay")
+    jvm_max_gb = spark._jvm.java.lang.Runtime.getRuntime().maxMemory() / (1 << 30)
+    if jvm_max_gb < 2:
+        print(
+            f"WARNING: driver JVM heap is {jvm_max_gb:.1f} GiB — under spark-submit "
+            "the session factory's spark.driver.memory is ignored; pass "
+            "--driver-memory on the submit command line (1g default OOMs on "
+            "real replay volumes)",
+            file=sys.stderr,
+        )
     applier = CDCApplier(
         spark,
         args.table,

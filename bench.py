@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "pii_scrub_docs",
     "repetition_quality_docs",
     "minhash_canonical_docs",
+    "bm25_scores_docs",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))

@@ -183,6 +183,149 @@ def pii_scrub_sql(text: str) -> tuple[str, dict[str, str]]:
 # --- repetition signals (Gopher-style quality filters, Rae et al. '21) --------
 
 
+def _bm25_tf(text: Column, terms: list[str], impl: str = "arrow") -> Column:
+    """Per-doc (dl, tf per term) as ONE struct from ONE tokenization.
+
+    'arrow': Counter-based pandas UDF — one pass per document. The JVM
+    twin ('jvm': size(filter(words, = t)) per term) is pinned
+    equivalent but ~100x slower at real document lengths: higher-order
+    lambdas run interpreted per ELEMENT, and each tf column re-runs the
+    regexp tokenizer (no cross-column CSE) — measured 85s for the
+    5,000-doc sf0.1 scan vs <1s on Arrow. Counts are exact ints either
+    way, so downstream float determinism is unaffected."""
+    fields = ", ".join(["dl int"] + [f"tf_{i} int" for i in range(len(terms))])
+    if impl == "arrow":
+
+        @pandas_udf(fields)
+        def _counts(texts: pd.Series) -> pd.DataFrame:
+            strip = re.compile(r"[^a-zA-Z0-9 ]")
+            rows = []
+            for t in texts:
+                if t is None:
+                    rows.append((0,) * (len(terms) + 1))
+                    continue
+                words = strip.sub(" ", t).lower().split()
+                c = Counter(words)
+                rows.append((len(words), *[c.get(term, 0) for term in terms]))
+            return pd.DataFrame(
+                rows, columns=["dl"] + [f"tf_{i}" for i in range(len(terms))]
+            )
+
+        return _counts(text)
+    from dbt_customer360_spark.operators.dedup import _shingles
+
+    words = F.array_remove(_shingles(text, n=1), "")
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda: F.filter treats a 2-arg lambda as
+        # (element, index), so a default-arg closure would bind the
+        # term to the INDEX column
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    return F.struct(
+        F.size(words).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+
+
+def bm25_scores(
+    docs,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    impl: str = "arrow",
+):
+    """BM25 relevance of every document to a fixed query-term set — the
+    retrieval/quality-scoring primitive a training-data pipeline uses to
+    mine topical subsets of a corpus (Robertson & Walker, public).
+
+    Cross-engine bit-exactness by construction: the idf is the RATIONAL
+    odds form ``(N - df + 0.5) / (df + 0.5)`` (the exp() of the classic
+    log-idf, same ranking order) so every step is an exactly-rounded
+    IEEE add/mul/div — ``ln()`` differs between engines at the last ulp,
+    ratios cannot. The DuckDB twin :func:`bm25_sql` is generated from
+    the same constants and the same operation order.
+
+    Scale design: per-doc (dl, tf_t) come out of ONE scan with no
+    explode (``size(filter(words, = t))`` per term, all inside codegen);
+    N / sum(dl) / df_t are a single 1-row aggregate broadcast back via
+    crossJoin. The corpus is never shuffled.
+    """
+    terms = sorted(query_terms)
+    base = docs.select(
+        F.col(id_col), _bm25_tf(F.col(text_col), terms, impl).alias("__c")
+    ).select(
+        F.col(id_col),
+        F.col("__c.dl").alias("__dl"),
+        *[F.col(f"__c.tf_{i}").alias(f"__tf_{i}") for i in range(len(terms))],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df = F.col(f"__df_{i}")
+        idf = (F.col("__n") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(one_minus_b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl)
+        )
+        contrib = F.when(
+            F.col(f"__tf_{i}") > 0, idf * ((tf * F.lit(k1p1)) / denom)
+        ).otherwise(F.lit(0.0))
+        score = contrib if score is None else score + contrib
+    return joined.select(F.col(id_col), F.col("__dl").alias("dl"), score.alias("bm25"))
+
+
+def bm25_sql(
+    toks_cte: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores`: same constants (python float
+    repr), same rational idf, same left-associative term-sum order —
+    bit-identical scores. ``toks_cte`` must yield (id_col, ws)."""
+    terms = sorted(query_terms)
+    k1r, br = repr(float(k1)), repr(float(b))
+    k1p1 = repr(float(k1 + 1.0))
+    omb = repr(float(1.0 - b))
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) as tf_{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(case when tf_{i} > 0 then 1 else 0 end) as df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = [
+        f"(case when tf_{i} > 0 then "
+        f"(cast(n - df_{i} as double) + 0.5) / (cast(df_{i} as double) + 0.5) "
+        f"* ((cast(tf_{i} as double) * {k1p1}) / (cast(tf_{i} as double) + {k1r} * "
+        f"({omb} + {br} * (cast(dl as double) / "
+        f"(cast(sumdl as double) / cast(n as double)))))) else 0.0 end)"
+        for i in range(len(terms))
+    ]
+    return f"""
+    with toks as ({toks_cte}),
+    base as (select {id_col}, len(ws) as dl, {tf_cols} from toks),
+    stats as (select count(*) as n, sum(dl) as sumdl, {df_cols} from base)
+    select {id_col}, dl, {' + '.join(contribs)} as bm25
+    from base cross join stats
+    """
+
+
 def repetition_features_arrow(text: Column) -> Column:
     """Arrow pandas-UDF twin of :func:`repetition_features`, returning
     one struct<top_word_frac,dup_2gram_frac,mean_word_len:double>.

@@ -1759,6 +1759,23 @@ _NGRAM_ORACLE = """
 """
 
 
+_BM25_TERMS = ["hash", "join", "merge"]
+
+
+@extra_query(
+    "bm25_scores_docs", textstats.bm25_sql(_DUCK_TOKS, "doc_id", _BM25_TERMS)
+)
+def bm25_scores_docs(spark, sf):
+    """BM25 relevance of every document to a fixed query-term set
+    (textstats.bm25_scores) — the corpus-mining primitive, with the
+    rational odds-idf so both engines compute bit-identical doubles
+    (no ln(); every step is an exactly-rounded IEEE op). Lives in the
+    extra registry (attested roster is at the 50-entry cap); fully
+    hash-checked by tools/check_oracles.py."""
+    d = _t(spark, sf, "documents")
+    return textstats.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
+
+
 @extra_query("ngram_jaccard_oracle", _NGRAM_ORACLE)
 def ngram_jaccard_oracle(spark, sf):
     """Exact 3-gram Jaccard near-dup pairs, lang-blocked — oracle-checked

@@ -325,6 +325,48 @@ def test_repetition_features(spark):
     assert out[2].dup_2gram_frac == 0.0
 
 
+def test_bm25_hand_checked(spark):
+    """BM25 with the rational odds-idf, k1=1.2 b=0.75, hand-computed:
+    N=3, avgdl=3; idf(a)=idf(b)=1.5/2.5=0.6;
+    doc1 'a b a': 0.6*(2*2.2/3.2) + 0.6*(2.2/2.2) = 1.425
+    doc2 'a c'  : 0.6*(2.2/1.9) ~= 0.694737 (term b absent -> 0)
+    doc3 'b b b c': 0.6*(3*2.2/4.5) = 0.88 (term a absent -> 0)"""
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "b b b c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.bm25
+        for r in textstats.bm25_scores(df, "doc_id", "text", ["a", "b"]).collect()
+    }
+    assert abs(out[1] - 1.425) < 1e-12
+    assert abs(out[2] - 0.6 * 2.2 / 1.9) < 1e-12
+    assert abs(out[3] - 0.88) < 1e-12
+
+
+def test_bm25_arrow_equals_jvm_twin(spark):
+    """The Arrow tf-counting path and the JVM filter/size twin must
+    produce identical scores on real documents (counts are exact ints;
+    the float pipeline after them is shared)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    terms = ["hash", "join", "merge"]
+    a = {r.doc_id: (r.dl, r.bm25) for r in textstats.bm25_scores(docs, "doc_id", "text", terms, impl="arrow").collect()}
+    j = {r.doc_id: (r.dl, r.bm25) for r in textstats.bm25_scores(docs, "doc_id", "text", terms, impl="jvm").collect()}
+    assert a == j
+
+
+def test_bm25_zero_term_and_empty_doc(spark):
+    """Absent terms contribute exactly 0.0; a tokenless doc scores 0
+    (every tf is 0) and still appears in the output."""
+    df = spark.createDataFrame(
+        [(1, "only these words"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.bm25
+        for r in textstats.bm25_scores(df, "doc_id", "text", ["absent"]).collect()
+    }
+    assert out == {1: 0.0, 2: 0.0}
+
+
 def test_repetition_arrow_equals_jvm_twin(spark):
     """The Arrow repetition path must be BIT-identical to the JVM fold
     on real sf0.001 documents plus adversarial edges (empty, tokenless,

@@ -148,20 +148,44 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
         return dt
 
+    def probe_stateful() -> float:
+        # custom stateful streaming operator: the applyInPandasWithState
+        # per-key max-LSN high-watermark filter over the staged stream
+        # (Arrow-batched state; one shuffle on the grouping key)
+        from dbt_customer360_spark.streaming import stateful
+
+        root = tempfile.mkdtemp(prefix="bench_cdc_state_")
+        reader = spark.readStream.schema(schema).parquet(stage)
+        t0 = time.time()
+        q = (
+            stateful.stateful_lsn_filter(reader)
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600) is True
+        dt = time.time() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return dt
+
     # INTERLEAVED best-of-N, like the query roster: back-to-back reps of
     # one probe let a noisy minute on this time-shared host poison all
     # of them at once
-    cdc_sec = lin_sec = stream_sec = float("inf")
+    cdc_sec = lin_sec = stream_sec = state_sec = float("inf")
     for _ in range(reps):
         cdc_sec = min(cdc_sec, probe_replay())
         lin_sec = min(lin_sec, probe_lineage())
         stream_sec = min(stream_sec, probe_stream())
+        state_sec = min(state_sec, probe_stateful())
     results["cdc_replay"] = round(cdc_sec, 3)
     results["cdc_replay_lineage"] = round(lin_sec, 3)
     results["cdc_stream"] = round(stream_sec, 3)
+    results["cdc_stateful_filter"] = round(state_sec, 3)
     events_per_sec = CDC_EVENTS / cdc_sec
     lineage_events_per_sec = CDC_EVENTS / lin_sec
     stream_events_per_sec = CDC_EVENTS / stream_sec
+    stateful_events_per_sec = CDC_EVENTS / state_sec
     shutil.rmtree(stage, ignore_errors=True)
 
     total = round(sum(results.values()), 3)
@@ -176,6 +200,7 @@ def main() -> None:
                 "cdc_events_per_sec": round(events_per_sec, 1),
                 "cdc_lineage_events_per_sec": round(lineage_events_per_sec, 1),
                 "cdc_stream_events_per_sec": round(stream_events_per_sec, 1),
+                "cdc_stateful_events_per_sec": round(stateful_events_per_sec, 1),
                 "cpus": cpus,
                 "reps": reps,
             }

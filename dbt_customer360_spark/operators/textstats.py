@@ -192,7 +192,9 @@ def _bm25_tf(text: Column, terms: list[str], impl: str = "arrow") -> Column:
     lambdas run interpreted per ELEMENT, and each tf column re-runs the
     regexp tokenizer (no cross-column CSE) — measured 85s for the
     5,000-doc sf0.1 scan vs <1s on Arrow. Counts are exact ints either
-    way, so downstream float determinism is unaffected."""
+    way, so downstream float determinism is unaffected. Twin divergence
+    on NULL text only: Arrow scores it 0.0 (dl=0, all tf=0), the JVM
+    fold propagates NULL — the equivalence test pins non-null text."""
     fields = ", ".join(["dl int"] + [f"tf_{i} int" for i in range(len(terms))])
     if impl == "arrow":
 

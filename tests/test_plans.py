@@ -60,6 +60,20 @@ def test_ngram_unblocked_is_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_never_shuffles_the_corpus(spark):
+    """BM25: per-doc counts in the scan stage, corpus stats broadcast
+    back as a 1-row cross join — the only Exchanges are the stats
+    aggregation's (tiny) and its broadcast; the corpus side itself is
+    scan -> project with no repartition."""
+    from dbt_customer360_spark.plans.queries import EXTRA_QUERIES
+
+    plan = _plan(EXTRA_QUERIES["bm25_scores_docs"](spark, SF))
+    # one single-partition exchange for the global stats + its broadcast
+    assert plan.count("Exchange") <= 3  # SinglePartition + BroadcastExchange (+AQE read)
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan.lower()
+
+
 def test_simhash_and_ivf_have_no_per_row_window_shuffle(spark):
     """IVF corpus assignment is a min_by hash-aggregation, not a window
     partitioned by the full vector (round-1 judge item 10)."""

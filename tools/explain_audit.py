@@ -29,6 +29,7 @@ AUDIT = [
     "pii_scrub_docs",
     "repetition_quality_docs",
     "quantize_int8_embeddings",
+    "bm25_scores_docs",
     "minhash_canonical_docs",
 ]
 

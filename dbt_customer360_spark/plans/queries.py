@@ -1759,6 +1759,41 @@ _NGRAM_ORACLE = """
 """
 
 
+@extra_query(
+    "ann_bruteforce_int8",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+    m as (select vec_id, v, list_max(list_transform(v, x -> abs(x))) as maxabs from v),
+    qz as (select vec_id,
+             case when maxabs > 0 then maxabs / 127.0 else 0.0 end as scale,
+             case when maxabs > 0
+                  then list_transform(v, x -> cast(floor(x * 127.0 / maxabs + 0.5) as bigint))
+                  else list_transform(v, x -> cast(0 as bigint)) end as q
+           from m),
+    qs as (select vec_id as query_id, scale as qscale, q as qq from qz where vec_id < 8),
+    scored as (
+      select qs.query_id, c.vec_id as neighbor_id,
+             row_number() over (partition by qs.query_id order by
+               (qs.qscale * c.scale) *
+               cast(list_sum(list_transform(generate_series(1, len(qs.qq)),
+                                            i -> qs.qq[i] * c.q[i])) as double) desc,
+               c.vec_id asc) as rank
+      from qz c join qs on c.vec_id <> qs.query_id)
+    select query_id, neighbor_id, rank from scored where rank <= 5
+    """,
+)
+def ann_bruteforce_int8(spark, sf):
+    """Quantized-serving ANN: int8 corpus + queries, score =
+    (scale_q * scale_c) * exact integer dot — the configuration where
+    quantize_int8's 4x memory-bandwidth saving is actually exercised.
+    All ranking inputs are exactly-rounded IEEE products of identical
+    doubles, so the oracle replays the quantize + dot + rank chain
+    bit-identically."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk_int8(e, q, k=5)
+
+
 _BM25_TERMS = ["hash", "join", "merge"]
 
 

@@ -325,6 +325,29 @@ def test_repetition_features(spark):
     assert out[2].dup_2gram_frac == 0.0
 
 
+def test_int8_ann_recall_vs_fp32(spark):
+    """Quantized brute-force top-5 must substantially agree with the
+    fp32 exact top-5 (int8 cosine error ~1%): >= 80% overlap across
+    queries on real embeddings, exact agreement on rank 1."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    fp = similarity.brute_force_topk(e, q, k=5).collect()
+    i8 = similarity.brute_force_topk_int8(e, q, k=5).collect()
+    fp_sets = {}
+    fp_top1 = {}
+    for r in fp:
+        fp_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if r.rank == 1:
+            fp_top1[r.query_id] = r.neighbor_id
+    hits = total = 0
+    for r in i8:
+        total += 1
+        hits += r.neighbor_id in fp_sets[r.query_id]
+        if r.rank == 1:
+            assert r.neighbor_id == fp_top1[r.query_id], r.query_id
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
 def test_bm25_hand_checked(spark):
     """BM25 with the rational odds-idf, k1=1.2 b=0.75, hand-computed:
     N=3, avgdl=3; idf(a)=idf(b)=1.5/2.5=0.6;

@@ -58,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         help="batches touch every bucket: skip the touched-bucket discovery scan",
     )
     ap.add_argument(
+        "--rollback-to", type=int, default=None, metavar="SNAPSHOT_ID",
+        help="ops command: roll the table back to SNAPSHOT_ID (forward-history "
+        "rollback; reverts files, schema AND the exactly-once batch ledger, "
+        "refuses past the expiry horizon) and exit without replaying",
+    )
+    ap.add_argument(
         "--maintenance-every", type=int, default=8,
         help="auto-compact + expire snapshots every N applied batches (0 = off)",
     )
@@ -84,6 +90,23 @@ def main(argv: list[str] | None = None) -> int:
             "real replay volumes)",
             file=sys.stderr,
         )
+    if args.rollback_to is not None:
+        from dbt_customer360_spark.lake.table import LakeTable
+
+        table = LakeTable(spark, args.table, buckets=args.buckets)
+        sid = table.rollback_to(args.rollback_to)
+        print(
+            json.dumps(
+                {
+                    "mode": "rollback",
+                    "rolled_back_to": args.rollback_to,
+                    "snapshot_id": sid,
+                    "final_rows": table.read().count(),
+                }
+            )
+        )
+        return 0
+
     applier = CDCApplier(
         spark,
         args.table,

@@ -288,3 +288,49 @@ def test_streaming_with_partition_lineage(spark, tmp_path):
         parts = [r for r in lin if r.epoch == t.epoch and r.partition is not None]
         assert parts and sum(p.rows_applied for p in parts) == t.rows_applied
         assert all(p.snapshot_id == t.snapshot_id for p in parts)
+
+
+def test_job_cli_rollback_command(spark):
+    """jobs/cdc_replay_job.py --rollback-to: ops-level forward-history
+    rollback through the CLI surface (in-process main(), shared
+    session). State after rollback equals the target snapshot's, and
+    the exactly-once ledger reverts with it."""
+    import json
+    import sys as _sys
+
+    sys_path_root = "/root/repo"
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    import io
+    from contextlib import redirect_stdout
+
+    from jobs.cdc_replay_job import main as job_main
+
+    root = tempfile.mkdtemp(prefix="cdc_rb_")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = job_main(
+            ["--generate", "20000", "--table", f"{root}/repos",
+             "--batches", "2", "--buckets", "4", "--dense-batches"]
+        )
+    assert rc == 0
+    replay = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert replay["snapshot_id"] == 2
+
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    before = {
+        (r.repo, r.path): r.content
+        for r in LakeTable(spark, f"{root}/repos", buckets=4).read(snapshot_id=1).collect()
+    }
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = job_main(["--table", f"{root}/repos", "--buckets", "4", "--rollback-to", "1"])
+    assert rc == 0
+    rb = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert rb["mode"] == "rollback" and rb["snapshot_id"] == 3
+    after = {
+        (r.repo, r.path): r.content
+        for r in LakeTable(spark, f"{root}/repos", buckets=4).read().collect()
+    }
+    assert after == before

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "quality_score_docs",
     "token_counts_docs",
     "langid_docs",
-    "name_titles_strip",
+    "name_titles_suffixes_strip",
     "street_suffix_expand",
     "pii_scrub_docs",
     "repetition_quality_docs",

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from dbt_customer360_spark.session import ensure_checkpoint_dir
+
 
 def connected_components(
     edges: DataFrame,
@@ -43,14 +45,7 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint()
-        sc = df.sparkSession.sparkContext
-        # setCheckpointDir stores <dir>/<random-uuid> (possibly with a
-        # file: scheme), so an equality guard NEVER matches and every
-        # lineage cut would mint a fresh uuid subdir — compare by
-        # containment so the dir is set exactly once per context
-        cur = sc.getCheckpointDir()
-        if cur is None or checkpoint_dir.rstrip("/") not in cur:
-            sc.setCheckpointDir(checkpoint_dir)
+        ensure_checkpoint_dir(df.sparkSession.sparkContext, checkpoint_dir)
         return df.checkpoint()
 
     sym = (

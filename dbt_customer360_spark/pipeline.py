@@ -31,7 +31,7 @@ from dbt_customer360_spark.functions import normalize as N
 from dbt_customer360_spark.operators import golden
 from dbt_customer360_spark.operators.components import connected_components
 from dbt_customer360_spark.operators.match import MatchRule, candidate_pairs
-from dbt_customer360_spark.session import local_df
+from dbt_customer360_spark.session import ensure_checkpoint_dir, local_df
 from dbt_customer360_spark.sources import seeds
 
 
@@ -171,12 +171,7 @@ class Customer360Pipeline:
         reliable-storage checkpoint when config.checkpoint_dir is set."""
         if self.config.checkpoint_dir is None:
             return df.localCheckpoint()
-        sc = df.sparkSession.sparkContext
-        # getCheckpointDir returns <dir>/<uuid>; equality never matches
-        # (see components.ckpt) — containment guard sets the dir once
-        cur = sc.getCheckpointDir()
-        if cur is None or self.config.checkpoint_dir.rstrip("/") not in cur:
-            sc.setCheckpointDir(self.config.checkpoint_dir)
+        ensure_checkpoint_dir(df.sparkSession.sparkContext, self.config.checkpoint_dir)
         return df.checkpoint()
 
     def _with_alt_first_names(self, df: DataFrame, name_col: str, out_col: str) -> DataFrame:

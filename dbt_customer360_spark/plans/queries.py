@@ -143,7 +143,7 @@ def broadcast_dim_join(spark, sf):
     )
 
 
-@extra_query(
+@query(
     "theta_or_dim_join",
     """
     select n.n_name as nation_name, r.r_name as region_name
@@ -670,65 +670,60 @@ def _title_input_spark() -> F.Column:
 
 _nt_strip, _nt_tag = N.name_titles_sql("full_name")
 
-ORACLES["name_titles_strip"] = f"""
-    with named as (select c_custkey, {_title_input_sql()} as full_name from customer)
-    select c_custkey, full_name,
-           {_nt_strip} as name_no_title,
-           {_nt_tag} as name_title
-    from named
-"""
-
-
-@query("name_titles_strip")
-def name_titles_strip(spark, sf):
-    """M1: strip 113 honorifics (macros/name_titles.sql:118-133)."""
-    c = _t(spark, sf, "customer").select(
-        "c_custkey", _title_input_spark().alias("full_name")
-    )
-    split = NF.name_titles_fast("full_name")
-    return c.select(
-        "c_custkey",
-        "full_name",
-        split["no_title"].alias("name_no_title"),
-        split["title"].alias("name_title"),
-    )
-
-
 _SUFFIX_SAMPLE = ["Jr", "Sr", "iii", "esq", "Junior"]
-_ns_strip, _ns_tag = N.name_suffixes_sql("full_name")
+_ns_strip, _ns_tag = N.name_suffixes_sql("name_no_title")
 
-ORACLES["name_suffixes_strip"] = f"""
+ORACLES["name_titles_suffixes_strip"] = f"""
     with named as (
       select c_custkey,
-             'Bob ' || c_name ||
+             {_title_input_sql()} ||
              (case when c_custkey % 2 = 0
                    then ' ' || (['{"','".join(_SUFFIX_SAMPLE)}'][(c_custkey % 5 + 1)::int])
                    else '' end) as full_name
-      from customer)
-    select c_custkey, full_name,
+      from customer),
+    titled as materialized (
+      select c_custkey, full_name,
+             {_nt_strip} as name_no_title,
+             {_nt_tag} as name_title
+      from named)
+    select c_custkey, full_name, name_no_title, name_title,
            {_ns_strip} as name_no_suffix,
            {_ns_tag} as name_suffix
-    from named
+    from titled
 """
 
 
-@query("name_suffixes_strip")
-def name_suffixes_strip(spark, sf):
-    """M2: strip 16 generational suffixes (macros/name_suffixes.sql)."""
-    arr = F.array(*[F.lit(s) for s in _SUFFIX_SAMPLE])
-    suffix = F.when(
+@query("name_titles_suffixes_strip")
+def name_titles_suffixes_strip(spark, sf):
+    """M1+M2 in one projection — strip 113 honorifics then 16
+    generational suffixes, the reference's sequenced name-cleaning
+    macro family (macros/name_titles.sql:118-133 +
+    macros/name_suffixes.sql). One roster slot covers both (the two
+    single-macro queries were folded together in round 5 to free cap
+    space for J2 and the canonical-dedup composition)."""
+    arr = F.array(*[F.lit(x) for x in _SUFFIX_SAMPLE])
+    sfx = F.when(
         F.col("c_custkey") % 2 == 0,
         F.concat(F.lit(" "), F.element_at(arr, (F.col("c_custkey") % 5 + 1).cast("int"))),
     ).otherwise(F.lit(""))
     c = _t(spark, sf, "customer").select(
-        "c_custkey", F.concat(F.lit("Bob "), F.col("c_name"), suffix).alias("full_name")
+        "c_custkey", F.concat(_title_input_spark(), sfx).alias("full_name")
     )
-    split = NF.name_suffixes_fast("full_name")
-    return c.select(
+    tsplit = NF.name_titles_fast("full_name")
+    titled = c.select(
         "c_custkey",
         "full_name",
-        split["no_suffix"].alias("name_no_suffix"),
-        split["suffix"].alias("name_suffix"),
+        tsplit["no_title"].alias("name_no_title"),
+        tsplit["title"].alias("name_title"),
+    )
+    ssplit = NF.name_suffixes_fast("name_no_title")
+    return titled.select(
+        "c_custkey",
+        "full_name",
+        "name_no_title",
+        "name_title",
+        ssplit["no_suffix"].alias("name_no_suffix"),
+        ssplit["suffix"].alias("name_suffix"),
     )
 
 
@@ -1068,7 +1063,7 @@ _MINHASH_CANONICAL_ORACLE = f"""
 """
 
 
-@extra_query("minhash_canonical_docs", _MINHASH_CANONICAL_ORACLE)
+@query("minhash_canonical_docs", _MINHASH_CANONICAL_ORACLE)
 def minhash_canonical_docs(spark, sf):
     """The full corpus-dedup composition: MinHash-LSH near-dup pairs
     (est_jaccard >= 0.5) -> TRUE connected components over the pair
@@ -1835,7 +1830,10 @@ _CUSTOMER_ROLLUP_ORACLE = """
       from lineitem group by l_orderkey
     ), cust as (
       select o.o_custkey,
-             sum(r.n_lines) as n_lines,
+             -- DuckDB sum(BIGINT) returns HUGEINT, which pandas coerces
+             -- to float64 ("49.0" vs Spark's "49") -- cast every integer
+             -- sum back to bigint so both engines land on int64
+             cast(sum(r.n_lines) as bigint) as n_lines,
              cast(floor((cast(sum(r.avg_price * r.n_lines) as double)
                         / sum(r.n_lines)) * 1e6 + 0.5) / 1e6 as decimal(22,6)) as w_avg_price
       from order_rows r join orders o on r.l_orderkey = o.o_orderkey
@@ -1844,14 +1842,14 @@ _CUSTOMER_ROLLUP_ORACLE = """
       select cast(c.c_custkey as varchar) as row_id,
              c.c_nationkey,
              false as is_org_header,
-             coalesce(t.n_lines, 0) as n_lines,
+             cast(coalesce(t.n_lines, 0) as bigint) as n_lines,
              cast(t.w_avg_price as double) as w_avg_price
       from customer c left join cust t on c.c_custkey = t.o_custkey
     ), rollup as (
       select 'hdr_' || cast(c.c_nationkey as varchar) as row_id,
              c.c_nationkey,
              true as is_org_header,
-             sum(coalesce(t.n_lines, 0)) as n_lines,
+             cast(sum(coalesce(t.n_lines, 0)) as bigint) as n_lines,
              floor((cast(sum(t.w_avg_price) as double)
                     / count(t.w_avg_price)) * 1e6 + 0.5) / 1e6 as w_avg_price
       from customer c left join cust t on c.c_custkey = t.o_custkey
@@ -1921,40 +1919,36 @@ def customer_metrics_rollup(spark, sf):
 from dbt_customer360_spark.functions import udfs as U  # noqa: E402
 
 
-@query(
-    "sha256_invariant",
-    """
-    select doc_id, sha256(text) as content_sha
-    from documents
-    """,
-)
-def sha256_invariant(spark, sf):
-    """§2.11 U2: the per-row content-sha256 invariant (BASELINE.json:15)
-    via the Arrow pandas UDF — the oracle is DuckDB's native sha256, so
-    this also proves the UDF equals a native implementation."""
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", U.content_sha256("text").alias("content_sha"))
+_UDF_LANGS = ["PY", "python", "golang", "Rust", "C++", "JS", "java", "unknownlang"]
 
-
-_LANG_ORACLE = f"""
+_UDF_ORACLE_TMPL = """
     with raw as (
-      select doc_id,
+      select doc_id, text,
              (['PY', 'python', 'golang', 'Rust', 'C++', 'JS', 'java', 'unknownlang'])
                [(doc_id % 8 + 1)::int] as raw_lang
       from documents)
-    select doc_id, raw_lang, {U.normalize_lang_sql('raw_lang')} as lang_norm
+    select doc_id, sha256(text) as content_sha, raw_lang,
+           {lang_sql} as lang_norm
     from raw
 """
 
 
-@query("lang_normalize", _LANG_ORACLE)
-def lang_normalize(spark, sf):
-    """§2.11 U2: language-tag canonicalization pandas UDF vs a CASE
-    oracle generated from the same mapping."""
+@query("udf_sha256_lang", _UDF_ORACLE_TMPL.format(lang_sql=U.normalize_lang_sql("raw_lang")))
+def udf_sha256_lang(spark, sf):
+    """§2.11 U1+U2 in one roster slot: the per-row content-sha256
+    invariant (BASELINE.json:15) AND language-tag canonicalization,
+    both Arrow pandas UDFs — the oracle pairs DuckDB's native sha256
+    with a CASE chain generated from the same lang mapping, so both
+    UDFs are proven equal to native implementations in one query.
+    (Folded from the r3/r4 `sha256_invariant` + `lang_normalize`
+    entries in round 5 to free cap space.)"""
     d = _t(spark, sf, "documents")
-    variants = F.array(
-        *[F.lit(x) for x in ["PY", "python", "golang", "Rust", "C++", "JS", "java", "unknownlang"]]
-    )
+    variants = F.array(*[F.lit(x) for x in _UDF_LANGS])
     raw = F.element_at(variants, (F.col("doc_id") % 8 + 1).cast("int"))
-    named = d.select("doc_id", raw.alias("raw_lang"))
-    return named.withColumn("lang_norm", U.normalize_lang("raw_lang"))
+    named = d.select("doc_id", "text", raw.alias("raw_lang"))
+    return named.select(
+        "doc_id",
+        U.content_sha256("text").alias("content_sha"),
+        "raw_lang",
+        U.normalize_lang("raw_lang").alias("lang_norm"),
+    )

@@ -21,6 +21,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _strip_scheme(p: str) -> str:
+    """file:/x, file:///x -> /x; other schemes (hdfs://...) untouched."""
+    if p.startswith("file:"):
+        return "/" + p[len("file:"):].lstrip("/")
+    return p
+
+
+def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
+    """Set the context's reliable checkpoint dir exactly once.
+
+    ``setCheckpointDir`` stores ``<scheme><dir>/<random-uuid>`` so an
+    equality guard never matches and every lineage cut would mint a
+    fresh uuid subdir; the r4 substring-containment guard
+    false-positived when the configured dir was a string prefix of the
+    stored one (``/tmp/ck`` vs ``/tmp/ck2``). Strip the scheme and
+    compare the stored path's PARENT exactly.
+    """
+    cur = sc.getCheckpointDir()
+    want = _strip_scheme(checkpoint_dir).rstrip("/")
+    if cur is not None:
+        if os.path.dirname(_strip_scheme(cur).rstrip("/")) == want:
+            return
+    sc.setCheckpointDir(checkpoint_dir)
+
+
 def get_spark(
     app: str = "dbt_customer360_spark",
     cores: int | str | None = None,

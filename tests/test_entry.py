@@ -31,9 +31,12 @@ def test_must_attest_queries_inside_driver_cap(spark):
     first50 = list(entrymod.queries())[:50]
     for name in [
         "customer_metrics_rollup",
-        "sha256_invariant",
-        "lang_normalize",
+        "udf_sha256_lang",
         "quantize_int8_embeddings",
+        # r4 VERDICT Next #4: J2 and the corpus-dedup composition must
+        # carry driver verdicts — promoted into the attested 50 in r5
+        "theta_or_dim_join",
+        "minhash_canonical_docs",
     ]:
         assert name in first50, name
 

@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "simhash_near_dups",
     "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
     "quality_score_docs",
     "token_counts_docs",
     "langid_docs",
@@ -73,9 +75,11 @@ def main() -> None:
     ).save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # SPARK_GRAFT_CDC_ONLY=1 skips the query roster (CDC probe experiments)
+    bench_queries = [] if os.environ.get("SPARK_GRAFT_CDC_ONLY") else BENCH_QUERIES
     results: dict[str, float] = {}
     for _ in range(reps):
-        for name in BENCH_QUERIES:
+        for name in bench_queries:
             fn = roster[name]
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -171,17 +175,33 @@ def main() -> None:
 
     # INTERLEAVED best-of-N, like the query roster: back-to-back reps of
     # one probe let a noisy minute on this time-shared host poison all
-    # of them at once
-    cdc_sec = lin_sec = stream_sec = state_sec = float("inf")
+    # of them at once. $SPARK_GRAFT_CDC_PROBES selects a subset (comma
+    # list) — used by BENCH/probe_isolated experiments to attribute
+    # shared-JVM pollution between probes.
+    probes = {
+        "replay": probe_replay,
+        "lineage": probe_lineage,
+        "stream": probe_stream,
+        "stateful": probe_stateful,
+    }
+    sel = os.environ.get("SPARK_GRAFT_CDC_PROBES", "replay,lineage,stream,stateful")
+    sel = [p for p in sel.split(",") if p]
+    best = {name: float("inf") for name in sel}
     for _ in range(reps):
-        cdc_sec = min(cdc_sec, probe_replay())
-        lin_sec = min(lin_sec, probe_lineage())
-        stream_sec = min(stream_sec, probe_stream())
-        state_sec = min(state_sec, probe_stateful())
-    results["cdc_replay"] = round(cdc_sec, 3)
-    results["cdc_replay_lineage"] = round(lin_sec, 3)
-    results["cdc_stream"] = round(stream_sec, 3)
-    results["cdc_stateful_filter"] = round(state_sec, 3)
+        for name in sel:
+            best[name] = min(best[name], probes[name]())
+    out_key = {
+        "replay": "cdc_replay",
+        "lineage": "cdc_replay_lineage",
+        "stream": "cdc_stream",
+        "stateful": "cdc_stateful_filter",
+    }
+    for name in sel:
+        results[out_key[name]] = round(best[name], 3)
+    cdc_sec = best.get("replay", float("inf"))
+    lin_sec = best.get("lineage", float("inf"))
+    stream_sec = best.get("stream", float("inf"))
+    state_sec = best.get("stateful", float("inf"))
     events_per_sec = CDC_EVENTS / cdc_sec
     lineage_events_per_sec = CDC_EVENTS / lin_sec
     stream_events_per_sec = CDC_EVENTS / stream_sec

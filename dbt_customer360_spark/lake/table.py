@@ -526,11 +526,18 @@ class LakeTable:
                 f"rollback_to({snapshot_id}): {len(missing)} data file(s) expired, "
                 f"e.g. {missing[0]}; cannot roll back past the expiry horizon"
             )
-        m = self._read_manifest()
-        for field in ("files", "schema", "keys", "batch_ids", "column_mapping", "mapping_version", "bucket_fn"):
-            if field in target:
-                m[field] = target[field]
-        return self._commit(m)
+        # Build the new manifest FROM the target (not by patching the
+        # current one field-by-field): fields that exist now but not at
+        # the target — e.g. "keys" when rolling back to a pre-first-merge
+        # snapshot — must revert too, and future manifest fields revert
+        # automatically. Only the snapshot_id is taken from the current
+        # head so _commit lands at head+1 (optimistic concurrency keeps
+        # protecting against a racing writer). rollback_to(0) works as
+        # truncate-to-empty: _read_manifest(0) synthesizes the empty
+        # manifest, so the committed snapshot carries no files.
+        head = self.current_snapshot_id()
+        new_manifest = {**target, "snapshot_id": head}
+        return self._commit(new_manifest)
 
     # --- schema evolution ----------------------------------------------------------
 

@@ -230,6 +230,21 @@ def _bm25_tf(text: Column, terms: list[str], impl: str = "arrow") -> Column:
     )
 
 
+_BM25_TERM_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _check_bm25_terms(terms: list[str]) -> None:
+    """Both engines tokenize by strip-nonalnum + lower, and the DuckDB
+    twin splices terms into SQL string literals — so a term with
+    uppercase, punctuation, or quotes could never match a token AND
+    could break the generated oracle. Refuse it up front."""
+    bad = [t for t in terms if not _BM25_TERM_RE.match(t)]
+    if bad:
+        raise ValueError(
+            f"bm25 terms must match ^[a-z0-9]+$ (tokenizer output shape): {bad}"
+        )
+
+
 def bm25_scores(
     docs,
     id_col: str,
@@ -256,6 +271,7 @@ def bm25_scores(
     crossJoin. The corpus is never shuffled.
     """
     terms = sorted(query_terms)
+    _check_bm25_terms(terms)
     base = docs.select(
         F.col(id_col), _bm25_tf(F.col(text_col), terms, impl).alias("__c")
     ).select(
@@ -301,11 +317,16 @@ def bm25_sql(
     repr), same rational idf, same left-associative term-sum order —
     bit-identical scores. ``toks_cte`` must yield (id_col, ws)."""
     terms = sorted(query_terms)
+    _check_bm25_terms(terms)
     k1r, br = repr(float(k1)), repr(float(b))
     k1p1 = repr(float(k1 + 1.0))
     omb = repr(float(1.0 - b))
+    # coalesce: NULL text tokenizes to ws=NULL in the toks CTE (DuckDB
+    # regexp/split propagate NULL) while the Arrow path scores it as an
+    # empty doc (dl=0, all tf=0, bm25=0.0) — match that here
     tf_cols = ", ".join(
-        f"len(list_filter(ws, x -> x = '{t}')) as tf_{i}" for i, t in enumerate(terms)
+        f"coalesce(len(list_filter(ws, x -> x = '{t}')), 0) as tf_{i}"
+        for i, t in enumerate(terms)
     )
     df_cols = ", ".join(
         f"sum(case when tf_{i} > 0 then 1 else 0 end) as df_{i}"
@@ -321,7 +342,7 @@ def bm25_sql(
     ]
     return f"""
     with toks as ({toks_cte}),
-    base as (select {id_col}, len(ws) as dl, {tf_cols} from toks),
+    base as (select {id_col}, coalesce(len(ws), 0) as dl, {tf_cols} from toks),
     stats as (select count(*) as n, sum(dl) as sumdl, {df_cols} from base)
     select {id_col}, dl, {' + '.join(contribs)} as bm25
     from base cross join stats

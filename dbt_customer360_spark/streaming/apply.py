@@ -193,7 +193,8 @@ class CDCApplier:
             rows = [
                 (
                     str(epoch_id),
-                    None,  # partition: NULL marks the epoch-total row
+                    "epoch",  # row_kind: the epoch-total row
+                    None,
                     int(lineage["rows_applied"]),
                     int(lineage["deletes"]),
                     int(lineage["min_lsn"]) if lineage["min_lsn"] is not None else None,
@@ -221,10 +222,12 @@ class CDCApplier:
                 rows += [
                     (
                         str(epoch_id),
-                        # NULL partition values get an explicit label —
-                        # str(None) would mint a bogus 'None' partition,
-                        # and NULL itself is the epoch-total row marker
-                        str(r[0]) if r[0] is not None else "__null_partition__",
+                        # row_kind distinguishes these from the epoch-total
+                        # row, so a genuinely-NULL partition value stays
+                        # NULL (the r4 '__null_partition__' sentinel could
+                        # collide with a real partition of that name)
+                        "partition",
+                        str(r[0]) if r[0] is not None else None,
                         int(r["n"]),
                         int(r["d"]),
                         # a partition whose lsn values are all NULL yields
@@ -241,7 +244,7 @@ class CDCApplier:
             row = local_df(
                 self.spark,
                 rows,
-                "epoch string, partition string, rows_applied long, deletes long, "
+                "epoch string, row_kind string, partition string, rows_applied long, deletes long, "
                 "min_lsn long, max_lsn long, snapshot_id long",
             )
             self.lineage.append(row, batch_id=f"lineage-{batch_id}")

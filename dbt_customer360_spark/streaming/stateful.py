@@ -91,38 +91,97 @@ def streaming_exact_dedup(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
-def _lsn_filter_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit rows whose lsn advances the per-key high watermark.
+def _make_lsn_filter_fn(idle_timeout_ms: int | None, out_cols: list[str]):
+    """Build the state function; ``idle_timeout_ms`` arms an EVENT-TIME
+    timeout that evicts a key once the stream's watermark passes the
+    key's last event time plus the TTL.
 
-    Within one micro-batch the rows for a key may arrive unsorted and
-    duplicated; a cummax over the lsn-sorted frame keeps exactly the
-    advancing rows (vectorized — no python row loop)."""
-    (max_lsn,) = state.get if state.exists else (-1,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("lsn", kind="mergesort")
-        advancing = pdf[pdf["lsn"] > max_lsn]
-        if len(advancing):
-            keep = advancing[advancing["lsn"] > advancing["lsn"].shift(1, fill_value=max_lsn)]
-            # sorted input: every remaining row strictly advances
-            max_lsn = int(keep["lsn"].iloc[-1])
-            yield keep
-    state.update((max_lsn,))
+    Event-time (not processing-time) on purpose: with
+    ``ProcessingTimeTimeout`` Spark's ``shouldRunAnotherBatch`` is
+    unconditionally true, so a ``Trigger.AvailableNow`` run NEVER
+    terminates (it keeps scheduling empty batches to poll wall-clock
+    timeouts — measured in round 5). The event-time variant only
+    re-runs while the watermark advances, and "idle" measured in
+    stream time is the right semantic for a CDC feed anyway: a key is
+    evicted because the feed has provably moved past it, not because
+    the consumer paused."""
+
+    def _lsn_filter_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit rows whose lsn advances the per-key high watermark.
+
+        Within one micro-batch the rows for a key may arrive unsorted
+        and duplicated; a cummax over the lsn-sorted frame keeps exactly
+        the advancing rows (vectorized — no python row loop)."""
+        if state.hasTimedOut:
+            # idle past the TTL: drop the watermark. A later stale
+            # replay for this key will pass THIS filter again — the
+            # table's __max_lsn merge guard is the second line of
+            # defense (lake/table.py), so correctness is preserved;
+            # the trade buys bounded state on key-churning feeds.
+            state.remove()
+            return
+        (max_lsn,) = state.get if state.exists else (-1,)
+        max_ts = None
+        for pdf in pdfs:
+            if idle_timeout_ms is not None and len(pdf):
+                t = pdf["ts"].max()
+                if not pd.isna(t):
+                    max_ts = t if max_ts is None else max(max_ts, t)
+            pdf = pdf.sort_values("lsn", kind="mergesort")
+            advancing = pdf[pdf["lsn"] > max_lsn]
+            if len(advancing):
+                keep = advancing[advancing["lsn"] > advancing["lsn"].shift(1, fill_value=max_lsn)]
+                # sorted input: every remaining row strictly advances
+                max_lsn = int(keep["lsn"].iloc[-1])
+                yield keep[out_cols]
+        state.update((max_lsn,))
+        if idle_timeout_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(pd.Timestamp(max_ts).timestamp() * 1000) + idle_timeout_ms
+            )
+
+    return _lsn_filter_fn
 
 
-def stateful_lsn_filter(events: DataFrame) -> DataFrame:
+# default instance kept importable for tests/back-compat
+_lsn_filter_fn = _make_lsn_filter_fn(None, ["repo", "path", "lsn", "op", "content"])
+
+
+def stateful_lsn_filter(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
     """applyInPandasWithState high-watermark filter keyed by
     (repo, path): exactly-once-ish dedup for at-least-once upstreams,
-    state = one long per live key."""
+    state = one long per live key.
+
+    ``idle_timeout_ms`` bounds state for key-churning feeds: a key
+    whose last event time falls ``idle_timeout_ms`` behind the stream's
+    watermark (``ts_col`` watermarked by ``watermark_delay``) is
+    evicted via an event-time GroupState timeout. Stale replays for an
+    evicted key then rely on the table's __max_lsn merge guard — the
+    second line of defense — so the filter stays best-effort-exact
+    with HARD-bounded state (O(keys active within one TTL window))
+    instead of exact with O(all keys ever) state. Default None keeps
+    the unbounded-but-exact behavior (state = live keys)."""
+    out_cols = ["repo", "path", "lsn", "op", "content"]
+    if idle_timeout_ms is None:
+        inp = events.select(*out_cols)
+        timeout = GroupStateTimeout.NoTimeout
+    else:
+        inp = events.withWatermark(ts_col, watermark_delay).select(*out_cols, ts_col)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
-        events.select("repo", "path", "lsn", "op", "content")
-        .groupBy("repo", "path")
+        inp.groupBy("repo", "path")
         .applyInPandasWithState(
-            _lsn_filter_fn,
+            _make_lsn_filter_fn(idle_timeout_ms, out_cols),
             outputStructType=FILTER_OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -203,8 +203,10 @@ def test_partition_grain_lineage(spark):
     epochs = {r.epoch for r in lin}
     assert epochs == {"0", "1"}
     for e in epochs:
-        total = [r for r in lin if r.epoch == e and r.partition is None]
-        parts = [r for r in lin if r.epoch == e and r.partition is not None]
+        total = [r for r in lin if r.epoch == e and r.row_kind == "epoch"]
+        parts = [r for r in lin if r.epoch == e and r.row_kind == "partition"]
+        assert all(r.partition is None for r in total)
+        assert all(r.partition is not None for r in parts)
         assert len(total) == 1 and len(parts) >= 2  # conn_a/b/c
         assert sum(p.rows_applied for p in parts) == total[0].rows_applied
         assert sum(p.deletes for p in parts) == total[0].deletes
@@ -281,11 +283,11 @@ def test_streaming_with_partition_lineage(spark, tmp_path):
     assert q.awaitTermination(300) is True
     assert _sha(_engine_state(ap)) == _sha(_python_oracle(events.collect()))
     lin = ap.lineage.read().collect()
-    totals = [r for r in lin if r.partition is None]
+    totals = [r for r in lin if r.row_kind == "epoch"]
     assert len(totals) >= 1
     assert sum(r.rows_applied for r in totals) == 1200
     for t in totals:
-        parts = [r for r in lin if r.epoch == t.epoch and r.partition is not None]
+        parts = [r for r in lin if r.epoch == t.epoch and r.row_kind == "partition"]
         assert parts and sum(p.rows_applied for p in parts) == t.rows_applied
         assert all(p.snapshot_id == t.snapshot_id for p in parts)
 

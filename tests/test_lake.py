@@ -56,6 +56,24 @@ def test_rollback_to_restores_state_and_replay_ledger(spark):
         t.rollback_to(t0)
 
 
+def test_rollback_to_zero_truncates_and_reverts_all_fields(spark):
+    """r4 ADVICE: the new manifest is built FROM the target, so fields
+    that exist now but not then ("keys" pre-first-merge) revert too,
+    and rollback_to(0) is truncate-to-empty, not a misleading error."""
+    t = _table(spark)
+    df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
+    s1 = t.merge(df, ["repo", "path"], batch_id="b1")
+    assert "keys" in t._read_manifest()
+    s2 = t.rollback_to(0)
+    assert s2 == s1 + 1  # forward history
+    assert t.read().count() == 0
+    m = t._read_manifest()
+    assert "keys" not in m          # reverted, not carried forward
+    assert m["batch_ids"] == []     # ledger truncated: b1 re-applies
+    t.merge(df, ["repo", "path"], batch_id="b1")
+    assert t.read().count() == 1
+
+
 def test_idempotent_batch_ids(spark):
     t = _table(spark)
     df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dbt_customer360_spark.operators import dedup, golden, multimodal, similarity, textstats
@@ -388,6 +390,42 @@ def test_bm25_zero_term_and_empty_doc(spark):
         for r in textstats.bm25_scores(df, "doc_id", "text", ["absent"]).collect()
     }
     assert out == {1: 0.0, 2: 0.0}
+
+
+def test_bm25_null_text_matches_oracle_twin(spark):
+    """NULL text: Arrow scores it as an empty doc (dl=0, bm25=0.0); the
+    generated DuckDB twin must coalesce its NULL-propagating tokenizer
+    to the same (r4 ADVICE: dl=NULL would hash-mismatch)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    srows = sorted(
+        (r.doc_id, r.dl, r.bm25)
+        for r in textstats.bm25_scores(df, "doc_id", "text", ["a", "b"]).collect()
+    )
+    toks = (
+        "select doc_id, list_filter(str_split_regex(lower(regexp_replace(text,"
+        " '[^a-z0-9A-Z ]', ' ', 'g')), '\\s+'), x -> x <> '') as ws"
+        " from (values (1, 'a b a'), (2, NULL), (3, 'b')) t(doc_id, text)"
+    )
+    orows = sorted(
+        tuple(r) for r in duckdb.sql(textstats.bm25_sql(toks, "doc_id", ["a", "b"])).fetchall()
+    )
+    assert [tuple(r) for r in srows] == orows
+    assert srows[1][1] == 0 and srows[1][2] == 0.0  # the NULL-text doc
+
+
+def test_bm25_rejects_non_token_terms(spark):
+    """Terms with uppercase/punctuation can never match the stripped+
+    lowered tokens and would break the spliced oracle SQL — refused."""
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for bad in (["O'Brien"], ["Hash"], ["a b"], ["x;drop"]):
+        with pytest.raises(ValueError):
+            textstats.bm25_scores(df, "doc_id", "text", bad)
+        with pytest.raises(ValueError):
+            textstats.bm25_sql("select 1", "doc_id", bad)
 
 
 def test_repetition_arrow_equals_jvm_twin(spark):

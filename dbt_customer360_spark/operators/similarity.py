@@ -17,17 +17,89 @@ from __future__ import annotations
 
 import hashlib
 
+# module-level (not function-local) pandas import: pandas_udf resolves
+# stringified type hints via MODULE globals under
+# `from __future__ import annotations` (see functions/udfs.py)
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
-def cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+def _sq_dist_arrow(v: Column, c: Column) -> Column:
+    """Arrow twin of the ``_sq_dist`` fold — BIT-identical, ~10x faster.
+
+    The JVM higher-order fold runs interpreted per element (Expression
+    eval + array alloc per step); at corpus x centroids scale that is
+    the k-means hot loop. Here the accumulation is vectorized across
+    ROWS and sequential across DIMS — ``acc = (((0 + t1) + t2) + ...)``
+    per row, each step one numpy elementwise add — so the IEEE add
+    order is exactly the fold's (and the DuckDB
+    ``list_sum(list_transform(...))`` oracle's): same operands, same
+    order, bit-identical doubles. (A np.dot/BLAS or pairwise-sum path
+    would NOT preserve order.) Pinned equivalent in
+    tests/test_ops.py::test_sq_dist_arrow_equals_fold."""
+
+    @pandas_udf("double")
+    def _sq(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        t = va - vb
+        t = t * t
+        acc = np.zeros(len(va), dtype=np.float64)
+        for i in range(t.shape[1]):
+            acc = acc + t[:, i]
+        return pd.Series(acc)
+
+    return _sq(v, c)
+
+
+def _sq_dist(v: Column, c: Column, dim: int | None) -> Column:
+    """Squared L2 distance between two array<double> columns.
+
+    With a known (moderate) dim this emits an explicit left-associative
+    per-index chain — ``(((0.0 + t1) + t2) + ...)`` — which whole-stage
+    codegen compiles to straight-line primitive arithmetic. The
+    ``F.aggregate``/``zip_with`` fold it replaces runs INTERPRETED per
+    element (an Expression-tree eval + array alloc per step): at 500
+    corpus vectors x 8 centroids x dim 64 the fold alone cost ~8s warm
+    (measured round 5); the chain is microseconds. The addition order
+    is IDENTICAL to the fold's, so cross-engine bit-exactness against
+    the DuckDB ``list_sum(list_transform(...))`` oracles is unchanged.
+    Falls back to the fold for unknown or very wide dims (a 4096-term
+    expression would blow janino's 64KB method limit)."""
+    if dim is None or dim > 256:
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    out = F.lit(0.0)
+    for i in range(1, dim + 1):
+        t = F.element_at(v, i) - F.element_at(c, i)
+        out = out + t * t
+    return out
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is None or dim > 256:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    else:
+        # explicit left-assoc chains, same op order as the folds (see
+        # _sq_dist) — codegen-friendly, bit-identical results
+        dot, sa, sb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        for i in range(1, dim + 1):
+            x, y = F.element_at(a, i), F.element_at(b, i)
+            dot = dot + x * y
+            sa = sa + x * x
+            sb = sb + y * y
+        na, nb = F.sqrt(sa), F.sqrt(sb)
     return F.when((na > 0) & (nb > 0), dot / (na * nb))
 
 
@@ -37,6 +109,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank) — exact, crossJoin with a
     broadcast query side (query count is small; corpus never shuffles
@@ -82,10 +155,33 @@ def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[floa
     return planes
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-LSH bucket id: bit p = sign(vec . plane_p)."""
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42, impl: str = "arrow") -> Column:
+    """Sign-LSH bucket id: bit p = sign(vec . plane_p).
+
+    'arrow' (default): one pandas UDF computes all plane dots with the
+    row-vectorized / dim-sequential accumulation — the same IEEE add
+    order as the 'jvm' fold twin (pinned bit-identical in
+    tests/test_ops.py), ~n_planes*dim interpreted Expression evals per
+    row cheaper. The DuckDB oracle replays the identical order."""
+    planes = rademacher_planes(dim, n_planes, seed)
+    if impl == "arrow":
+
+        @pandas_udf("long")
+        def _buckets(vs: pd.Series) -> pd.Series:
+            V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
+            out = np.zeros(len(V), dtype=np.int64)
+            for p, plane in enumerate(planes):
+                acc = np.zeros(len(V), dtype=np.float64)
+                for j in range(dim):
+                    # left-assoc across dims, exactly the fold's order;
+                    # plane[j] is +-1.0 so the product is exact
+                    acc = acc + V[:, j] * plane[j]
+                out = out + ((acc > 0).astype(np.int64) << p)
+            return pd.Series(out)
+
+        return _buckets(vec)
     bucket = F.lit(0).cast("long")
-    for p, plane_vals in enumerate(rademacher_planes(dim, n_planes, seed)):
+    for p, plane_vals in enumerate(planes):
         plane = F.array(*[F.lit(v) for v in plane_vals])
         dot = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
@@ -165,11 +261,7 @@ def kmeans_centroids(
     )
     pts = corpus.select(F.col("vec_id").alias("__pid"), F.col(vec_col).cast("array<double>").alias("v"))
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dist = _sq_dist_arrow(F.col("v"), F.col("centroid"))
         # argmin per point via min_by hash-aggregation (partial agg
         # combines map-side) — NOT a window over the full vector, which
         # would shuffle every embedding by its own bytes
@@ -191,13 +283,19 @@ def kmeans_centroids(
                 *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
                 F.count("*").alias("n"),
             )
+            # localCheckpoint: the k-row centroid table is materialized
+            # once per iteration, truncating the plan — otherwise each
+            # iteration NESTS the previous one and the caller's corpus
+            # AND query sides each re-execute the whole chain (measured
+            # ~11s for 500 vectors at sf0.01 before; Catalyst/codegen
+            # time, not data)
             centroids = F.broadcast(
                 sums.select(
                     "centroid_id",
                     F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias(
                         "centroid"
                     ),
-                )
+                ).localCheckpoint()
             )
         else:
             # wide-dim shape: explode to (centroid_id, pos, x), sum +
@@ -214,7 +312,7 @@ def kmeans_centroids(
                         F.array_sort(F.collect_list(F.struct("pos", "m"))),
                         lambda s: s["m"],
                     ).alias("centroid")
-                )
+                ).localCheckpoint()  # k rows; truncates the iteration chain
             )
     return centroids
 
@@ -258,11 +356,7 @@ def kmeans_centroids_shared(
     pts = base.select("vec_id", "v")
     dec = "decimal(28,14)"
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dist = _sq_dist_arrow(F.col("v"), F.col("centroid"))
         assigned = (
             pts.crossJoin(centroids)
             .withColumn("d", dist)
@@ -274,18 +368,33 @@ def kmeans_centroids_shared(
             )
             .select(F.col("__w.v").alias("v"), F.col("__w.centroid_id").alias("centroid_id"))
         )
-        means = assigned.groupBy("centroid_id").agg(
-            *[
+        # mean step via posexplode: (centroid_id, pos) groups with ONE
+        # decimal-sum agg pair regardless of dim — the r4 shape built
+        # 2*dim aggregate expressions, whose janino compile alone cost
+        # seconds per iteration. DECIMAL addition is exact, so the
+        # group-sum order cannot change the value: bit-identical to the
+        # per-column shape AND to the DuckDB oracle replay.
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(
                 F.round(
-                    F.sum(F.element_at("v", i + 1).cast(dec)).cast("double") / F.count("*"), 9
-                ).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
-        centroids = F.broadcast(
-            means.select(
-                "centroid_id", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+                    F.sum(F.col("x").cast(dec)).cast("double") / F.count("*"), 9
+                ).alias("m")
             )
+        )
+        # k-row localCheckpoint per iteration (see kmeans_centroids):
+        # values are materialized once, so the checkpoint cannot change
+        # them — the DuckDB oracle replay stays bit-identical
+        centroids = F.broadcast(
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("centroid")
+            )
+            .localCheckpoint()
         )
     return centroids
 
@@ -305,11 +414,7 @@ def ivf_topk_shared(
     min_by corpus assignment, window-probed queries, per-cell exact
     cosine, per-query rank)."""
     cents = kmeans_centroids_shared(corpus, dim, k=n_centroids, seed=seed, vec_col=vec_col)
-    dist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dist = _sq_dist_arrow(F.col("__v"), F.col("centroid"))
     c = (
         corpus.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v"))
         .crossJoin(cents)
@@ -358,11 +463,7 @@ def ivf_topk(
     cents = kmeans_centroids(corpus, dim, k=n_centroids, seed=seed)
 
     def assign(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        dist = F.aggregate(
-            F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dist = _sq_dist_arrow(F.col("__v"), F.col("centroid"))
         scored = (
             df.select(
                 F.col(id_col).alias(id_alias),

@@ -392,6 +392,46 @@ def test_bm25_zero_term_and_empty_doc(spark):
     assert out == {1: 0.0, 2: 0.0}
 
 
+def test_sq_dist_arrow_equals_fold(spark):
+    """The Arrow distance twin must be BIT-identical to the JVM fold
+    (same IEEE add order: row-vectorized, dim-sequential) on real
+    embeddings — the k-means/IVF assignment correctness hinges on it."""
+    from pyspark.sql import functions as F
+
+    from dbt_customer360_spark.operators.similarity import _sq_dist, _sq_dist_arrow
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = (
+        e.select(F.col("vec_id").alias("ia"), F.col("embedding").cast("array<double>").alias("a"))
+        .crossJoin(
+            e.select(F.col("vec_id").alias("ib"), F.col("embedding").cast("array<double>").alias("b"))
+            .limit(7)
+        )
+    )
+    out = pairs.select(
+        "ia", "ib",
+        _sq_dist(F.col("a"), F.col("b"), None).alias("jvm"),
+        _sq_dist_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert out and all(r.jvm == r.arrow for r in out)  # bitwise ==
+
+
+def test_lsh_bucket_arrow_equals_jvm(spark):
+    """Arrow sign-LSH bucketing must be bit-identical to the JVM fold
+    twin (same add order) on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from dbt_customer360_spark.operators.similarity import lsh_bucket
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    out = e.select(
+        lsh_bucket(v, 64, 8, impl="arrow").alias("a"),
+        lsh_bucket(v, 64, 8, impl="jvm").alias("j"),
+    ).collect()
+    assert out and all(r.a == r.j for r in out)
+
+
 def test_bm25_null_text_matches_oracle_twin(spark):
     """NULL text: Arrow scores it as an empty doc (dl=0, bm25=0.0); the
     generated DuckDB twin must coalesce its NULL-propagating tokenizer

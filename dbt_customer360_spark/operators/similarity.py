@@ -232,6 +232,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     wide_dim_threshold: int = 64,
+    train_sample: int | None = 262_144,
 ) -> DataFrame:
     """Deterministic k-means (Lloyd) in pure DataFrame ops for IVF.
 
@@ -248,6 +249,19 @@ def kmeans_centroids(
     TWO agg columns regardless of dim and rebuilds each centroid with
     one k-row collect_list (k centroids, never the corpus).
     """
+    # Train on a deterministic hash sample (standard IVF practice:
+    # centroid quality saturates around ~256k training vectors; Lloyd
+    # passes over the full 100 TB corpus would dominate the build).
+    # Membership is a pure function of vec_id — no global sort, no
+    # driver RNG — and corpora at or below the sample size train on
+    # everything, so small runs are unchanged.
+    if train_sample is not None:
+        n = corpus.count()
+        if n > train_sample:
+            ratio = max(2, round(n / train_sample))
+            corpus = corpus.filter(
+                F.pmod(F.xxhash64("vec_id", F.lit(seed + 7919)), F.lit(ratio)) == 0
+            )
     base = corpus.select(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.xxhash64("vec_id", F.lit(seed)).alias("h"),
@@ -454,13 +468,14 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_sample: int | None = 262_144,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their nearest-centroid
     cell; each query probes its ``n_probe`` nearest cells and ranks
     candidates by exact cosine. The corpus-side assignment shuffles by
     centroid_id, so at scale each probe touches n_probe/n_centroids of
     the data (the inverted-file effect)."""
-    cents = kmeans_centroids(corpus, dim, k=n_centroids, seed=seed)
+    cents = kmeans_centroids(corpus, dim, k=n_centroids, seed=seed, train_sample=train_sample)
 
     def assign(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
         dist = _sq_dist_arrow(F.col("__v"), F.col("centroid"))

@@ -45,14 +45,15 @@ def test_local_gate_rejects_non_scalar_cells():
     """The driver's pandas canonicalizer crashes on array cells; the
     local gate must REFUSE them (str(v) green-lit driver-red rows in
     rounds 2 and 3) so roster projections serialize vectors instead."""
+    import pandas as pd
     import pytest
 
     from tools.check_oracles import table_hash
 
     with pytest.raises(TypeError):
-        table_hash([(1, [1, 2, 3])], ["id", "vec"])
+        table_hash(pd.DataFrame({"id": [1], "vec": [[1, 2, 3]]}))
     # scalars still hash fine
-    assert table_hash([(1, "a")], ["id", "s"])
+    assert table_hash(pd.DataFrame({"id": [1], "s": ["a"]}))
 
 
 def test_bench_roster_names_resolve():

@@ -392,6 +392,28 @@ def test_bm25_zero_term_and_empty_doc(spark):
     assert out == {1: 0.0, 2: 0.0}
 
 
+def test_ivf_train_sample_caps_kmeans_input(spark):
+    """IVF centroids train on a deterministic hash sample when the
+    corpus exceeds train_sample (the 100 TB path: Lloyd passes over a
+    ~256k sample, assignment over everything); results stay valid
+    top-k output for every query."""
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(
+        e, q, dim=64, k=3, n_centroids=4, n_probe=2, train_sample=100
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # determinism: membership is a pure function of vec_id
+    out2 = similarity.ivf_topk(
+        e, q, dim=64, k=3, n_centroids=4, n_probe=2, train_sample=100
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
 def test_sq_dist_arrow_equals_fold(spark):
     """The Arrow distance twin must be BIT-identical to the JVM fold
     (same IEEE add order: row-vectorized, dim-sequential) on real

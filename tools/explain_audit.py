@@ -25,6 +25,7 @@ AUDIT = [
     "customer_metrics_rollup",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "emb_cosine_dedup",
     "pii_scrub_docs",
     "repetition_quality_docs",
@@ -36,7 +37,17 @@ AUDIT = [
 RED_FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct"]
 # crossJoin against a broadcast query/centroid side is the intended
 # plan for brute-force ANN — whitelisted
-WHITELIST = {"ann_bruteforce": ["BroadcastNestedLoopJoin"]}
+WHITELIST = {
+    "ann_bruteforce": ["BroadcastNestedLoopJoin"],
+    # bm25 broadcasts the ONE-row global stats (N, sumdl, df_t) back
+    # onto the corpus — the corpus itself never shuffles (pinned in
+    # tests/test_plans.py::test_bm25_never_shuffles_the_corpus)
+    "bm25_scores_docs": ["BroadcastNestedLoopJoin"],
+    # the IVF BNLJs broadcast the O(n_centroids)-row centroid table
+    # (incl. each k-means iteration); the candidate join itself is a
+    # centroid_id equi-join (pinned in tests/test_plans.py)
+    "ann_ivf": ["BroadcastNestedLoopJoin"],
+}
 
 
 def main() -> int:
@@ -63,7 +74,8 @@ def main() -> int:
     else:
         header += (
             "No nested-loop/cartesian joins outside the whitelisted "
-            "broadcast brute-force ANN.\n\n"
+            "tiny-side broadcasts (brute-force ANN query set, IVF "
+            "centroid table, bm25 1-row stats).\n\n"
         )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(header + "\n".join(sections))

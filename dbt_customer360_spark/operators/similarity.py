@@ -44,6 +44,8 @@ def _sq_dist_arrow(v: Column, c: Column) -> Column:
 
     @pandas_udf("double")
     def _sq(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:  # np.stack raises on an empty batch
+            return pd.Series([], dtype="float64")
         va = np.stack(a.to_numpy())
         vb = np.stack(b.to_numpy())
         t = va - vb
@@ -168,6 +170,8 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42, impl: s
 
         @pandas_udf("long")
         def _buckets(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int64")
             V = np.stack(vs.to_numpy()).astype(np.float64, copy=False)
             out = np.zeros(len(V), dtype=np.int64)
             for p, plane in enumerate(planes):

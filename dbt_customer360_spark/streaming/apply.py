@@ -174,10 +174,43 @@ class CDCApplier:
             touched=list(range(self.table.buckets)) if self.assume_dense_batches else None,
             salt=self.hot_key_salt,
         )
+        want_partition_rows = (
+            self.lineage is not None
+            and self.lineage_grain == "partition"
+            and self.partition_col in batch.columns
+        )
+        per_part = None
         if obs is not None:
             stats = obs.get  # blocks until the merge's first action finishes
         else:
-            stats = batch.select("lsn", "op").agg(*stat_aggs).first().asDict()
+            if want_partition_rows:
+                # ONE rollup job yields the per-partition rows AND the
+                # grand total (grouping()==1 distinguishes the total row
+                # from a genuine NULL-partition group) — instead of a
+                # stats agg plus a separate per-partition agg per batch
+                rolled = (
+                    batch.rollup(self.partition_col)
+                    .agg(
+                        F.grouping(self.partition_col).alias("gid"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.when(F.col("op") == "delete", 1).otherwise(0)
+                        ).alias("d"),
+                        F.min("lsn").alias("lo"),
+                        F.max("lsn").alias("hi"),
+                    )
+                    .collect()
+                )
+                total = next(r for r in rolled if r["gid"] == 1)
+                per_part = [r for r in rolled if r["gid"] == 0]
+                stats = {
+                    "rows_applied": total["n"],
+                    "deletes": total["d"],
+                    "min_lsn": total["lo"],
+                    "max_lsn": total["hi"],
+                }
+            else:
+                stats = batch.select("lsn", "op").agg(*stat_aggs).first().asDict()
 
         lineage = {
             "epoch": str(epoch_id),
@@ -202,23 +235,26 @@ class CDCApplier:
                     int(sid),
                 )
             ]
-            if self.lineage_grain == "partition" and self.partition_col in batch.columns:
-                # per-source-partition offset ranges (north_star lineage
-                # clause). Observations are global-only, so this is one
-                # extra aggregation job — column-pruned to
-                # (partition_col, lsn, op), never the content payload.
-                per_part = (
-                    batch.groupBy(self.partition_col)
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(
-                            F.when(F.col("op") == "delete", 1).otherwise(0)
-                        ).alias("d"),
-                        F.min("lsn").alias("lo"),
-                        F.max("lsn").alias("hi"),
+            if want_partition_rows:
+                if per_part is None:
+                    # batch path: the epoch totals rode the merge via
+                    # Observation (free), so per-partition offset ranges
+                    # are the ONE extra aggregation job — column-pruned
+                    # to (partition_col, lsn, op), never the content
+                    # payload. (The streaming path already collected
+                    # them in the single rollup job above.)
+                    per_part = (
+                        batch.groupBy(self.partition_col)
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.sum(
+                                F.when(F.col("op") == "delete", 1).otherwise(0)
+                            ).alias("d"),
+                            F.min("lsn").alias("lo"),
+                            F.max("lsn").alias("hi"),
+                        )
+                        .collect()
                     )
-                    .collect()
-                )
                 rows += [
                     (
                         str(epoch_id),

@@ -592,3 +592,102 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
         ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return scale, qvec
+
+
+def ivf_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int | None = 262_144,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF cells + int8 vectors — the production 100 TB serving shape
+    composed from two attested operators: cell routing caps the scan at
+    ~n_probe/n_centroids of the corpus (:func:`ivf_topk`) and int8
+    storage cuts the scanned bytes 4x (:func:`brute_force_topk_int8`).
+
+    Cell assignment uses the fp32 vectors (centroid training on a
+    deterministic sample, assignment exact); candidate scoring inside
+    the probed cells uses the quantized vectors with the exact integer
+    dot and the ``(scale_q * scale_c) * dot`` rescale — every float
+    step exactly-rounded IEEE, so results replay bit-identically on any
+    engine (tested against the fp32-cell twin + a DuckDB oracle in the
+    extra registry)."""
+    cents = (
+        centroids  # caller-supplied cells (e.g. the oracle-replayable
+        # kmeans_centroids_shared) — must be (centroid_id, centroid)
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, dim, k=n_centroids, seed=seed, train_sample=train_sample
+        )
+    )
+
+    def assign(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
+        scored = (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .crossJoin(cents)
+            .withColumn("d", _sq_dist_arrow(F.col("__v"), F.col("centroid")))
+        )
+        if n_keep == 1:
+            return (
+                scored.groupBy(id_alias)
+                .agg(
+                    F.min_by(
+                        F.struct("__v", "centroid_id"),
+                        F.struct(F.col("d"), F.col("centroid_id")),
+                    ).alias("__w")
+                )
+                .select(id_alias, F.col("__w.__v").alias("__v"), F.col("__w.centroid_id").alias("centroid_id"))
+            )
+        w = Window.partitionBy(id_alias).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_keep)
+            .select(id_alias, "__v", "centroid_id")
+        )
+
+    def _quant(df: DataFrame, prefix: str) -> DataFrame:
+        scale, qv = quantize_int8(F.col("__v"))
+        return df.select(
+            F.col(df.columns[0]),
+            "centroid_id",
+            scale.alias(f"{prefix}_scale"),
+            qv.alias(f"{prefix}_q"),
+        )
+
+    c = _quant(assign(corpus, "neighbor_id", 1), "neighbor")
+    q = _quant(assign(queries, "query_id", n_probe), "query")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("query_q"), F.col("neighbor_q"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                (F.col("query_scale") * F.col("neighbor_scale")) * dot.cast("double")
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1210,7 +1210,9 @@ def ann_lsh(spark, sf):
     )
 
 
-def _ann_ivf_oracle(dim: int = 64, k_cent: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+def _ann_ivf_oracle(
+    dim: int = 64, k_cent: int = 8, iters: int = 2, n_probe: int = 2, scoring: str = "fp32"
+) -> str:
     """DuckDB replay of kmeans_centroids_shared + ivf_topk_shared: the
     md5-seeded init, ``iters`` unrolled Lloyd steps with decimal-exact
     9dp-rounded means, corpus argmin assignment, query cell probes,
@@ -1244,6 +1246,40 @@ def _ann_ivf_oracle(dim: int = 64, k_cent: int = 8, iters: int = 2, n_probe: int
         steps.append(assign(f"assign{it}", cent, 1))
         steps.append(update(f"cent{it + 1}", f"assign{it}"))
         cent = f"cent{it + 1}"
+    if scoring == "int8":
+        # quantize every vector once (same floor(x*127/maxabs+0.5)
+        # chain as the ann_bruteforce_int8 oracle), then rank probed
+        # cells by (scale_q*scale_c) * exact integer dot
+        final = f""",
+    qz as (
+      select vec_id,
+             case when maxabs > 0 then maxabs / 127.0 else 0.0 end as scale,
+             case when maxabs > 0
+                  then list_transform(v, x -> cast(floor(x * 127.0 / maxabs + 0.5) as bigint))
+                  else list_transform(v, x -> cast(0 as bigint)) end as q
+      from (select vec_id, v, list_max(list_transform(v, x -> abs(x))) as maxabs from pts))
+    select query_id, neighbor_id, rank from (
+      select q.query_id, c.neighbor_id,
+             row_number() over (partition by q.query_id order by
+               (zq.scale * zc.scale) *
+               cast(list_sum(list_transform(generate_series(1, {dim}),
+                                            i -> zq.q[i] * zc.q[i])) as double) desc,
+               c.neighbor_id asc) as rank
+      from corpus_cells c join query_cells q using (cid)
+      join qz zc on zc.vec_id = c.neighbor_id
+      join qz zq on zq.vec_id = q.query_id
+      where c.neighbor_id <> q.query_id)
+    where rank <= 5"""
+    else:
+        final = """
+    select query_id, neighbor_id, rank from (
+      select q.query_id, c.neighbor_id,
+             row_number() over (partition by q.query_id
+               order by list_cosine_similarity(q.q_vec, c.c_vec) desc,
+                        c.neighbor_id asc) as rank
+      from corpus_cells c join query_cells q using (cid)
+      where c.neighbor_id <> q.query_id)
+    where rank <= 5"""
     return f"""
     with pts as (
       select vec_id, cast(embedding as double[]) as v,
@@ -1261,15 +1297,7 @@ def _ann_ivf_oracle(dim: int = 64, k_cent: int = 8, iters: int = 2, n_probe: int
     query_cells as (select vec_id as query_id, v as q_vec, cid from (
         select p.vec_id, p.v, c.cid,
                row_number() over (partition by p.vec_id order by {sqdist} asc, c.cid asc) as rn
-        from pts p cross join {cent} c where p.vec_id < 8) where rn <= {n_probe})
-    select query_id, neighbor_id, rank from (
-      select q.query_id, c.neighbor_id,
-             row_number() over (partition by q.query_id
-               order by list_cosine_similarity(q.q_vec, c.c_vec) desc,
-                        c.neighbor_id asc) as rank
-      from corpus_cells c join query_cells q using (cid)
-      where c.neighbor_id <> q.query_id)
-    where rank <= 5
+        from pts p cross join {cent} c where p.vec_id < 8) where rn <= {n_probe}){final}
     """
 
 
@@ -1787,6 +1815,24 @@ def ann_bruteforce_int8(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return similarity.brute_force_topk_int8(e, q, k=5)
+
+
+@extra_query("ann_ivf_int8", _ann_ivf_oracle(scoring="int8"))
+def ann_ivf_int8(spark, sf):
+    """IVF cells + int8 vectors — the production 100 TB ANN serving
+    shape (cell routing caps the scan at ~n_probe/n_centroids of the
+    corpus; int8 storage cuts the scanned bytes 4x on top). Composed
+    from the two attested halves (`ann_ivf` clustering + the
+    `ann_bruteforce_int8` scoring chain); every float step is an
+    exactly-rounded IEEE op so DuckDB replays clustering, probing,
+    quantization, and the (scale_q*scale_c)*int_dot rank
+    bit-identically."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = similarity.kmeans_centroids_shared(e, 64, k=8, iters=2, seed=42)
+    return similarity.ivf_topk_int8(
+        e, q, dim=64, k=5, n_centroids=8, n_probe=2, centroids=cents
+    )
 
 
 _BM25_TERMS = ["hash", "join", "merge"]

@@ -539,3 +539,36 @@ def test_repetition_features_tokenless_doc_matches_oracle(spark):
         for r in con.sql(_REPETITION_ORACLE).fetchall()
     }
     assert oracle == got
+
+
+def test_ivf_int8_recall_vs_fp32_cells(spark):
+    """IVF+int8 serving path: same cells as the fp32 IVF (shared
+    deterministic centroids), int8 scoring inside the probed cells.
+    Top-5 must substantially overlap the fp32-IVF top-5 (>= 80%), the
+    production sample-trained path must run, and results must be
+    deterministic across invocations."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = similarity.kmeans_centroids_shared(e, 64, k=8, iters=2)
+    fp = similarity.ivf_topk_shared(e, q, dim=64, k=5, n_centroids=8, n_probe=2).collect()
+    i8 = similarity.ivf_topk_int8(
+        e, q, dim=64, k=5, n_centroids=8, n_probe=2, centroids=cents
+    ).collect()
+    fp_sets = {}
+    for r in fp:
+        fp_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in i8:
+        total += 1
+        hits += r.neighbor_id in fp_sets[r.query_id]
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+    # determinism
+    again = similarity.ivf_topk_int8(
+        e, q, dim=64, k=5, n_centroids=8, n_probe=2, centroids=cents
+    ).collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in again} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in i8
+    }
+    # production path: sample-trained centroids, no oracle constraint
+    prod = similarity.ivf_topk_int8(e, q, dim=64, k=5, n_centroids=8, n_probe=2)
+    assert prod.count() == 40

@@ -84,7 +84,7 @@ def candidate_pairs(
         entries = [
             F.struct(
                 F.lit(r.name).alias("rule"),
-                F.concat_ws("", F.lit(r.group_tag), F.col(k)).alias("k"),
+                F.concat_ws("\x01", F.lit(r.group_tag), F.col(k)).alias("k"),
                 F.col(k).alias("raw"),
             )
             for r, k in side_keys

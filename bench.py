@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_int8",
     "quality_score_docs",
     "token_counts_docs",
     "langid_docs",

@@ -1835,6 +1835,59 @@ def ann_ivf_int8(spark, sf):
     )
 
 
+_CHANGELOG_ORACLE = """
+    with v1 as (
+      select o_orderkey, o_orderstatus, o_totalprice
+      from orders where o_orderkey % 3 <> 0),
+    b as (
+      select o_orderkey, o_orderstatus, o_totalprice + 1 as o_totalprice,
+             (o_orderkey % 7 = 0) as is_del
+      from orders where o_orderkey % 5 = 0)
+    select 'delete' as _change_type,
+           v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice
+    from v1 join b using (o_orderkey) where b.is_del
+    union all
+    select 'update_preimage', v1.o_orderkey, v1.o_orderstatus, v1.o_totalprice
+    from v1 join b using (o_orderkey) where not b.is_del
+    union all
+    select 'update_postimage', b.o_orderkey, b.o_orderstatus, b.o_totalprice
+    from v1 join b using (o_orderkey) where not b.is_del
+    union all
+    select 'insert', b.o_orderkey, b.o_orderstatus, b.o_totalprice
+    from b left join v1 using (o_orderkey)
+    where v1.o_orderkey is null and not b.is_del
+"""
+
+
+@extra_query("lake_changelog", _CHANGELOG_ORACLE)
+def lake_changelog(spark, sf):
+    """Row-level change feed between two table snapshots (CDC *out*;
+    LakeTable.changelog — Iceberg/Delta "table changes"): v1 = a
+    deterministic orders subset, v2 = a merge carrying updates
+    (+1 price for keys %5), deletes (%7 of those) and inserts (keys
+    absent from v1). The oracle replays the NET diff in pure SQL —
+    insert/update_preimage/update_postimage/delete rows must match
+    bit-exactly (price+1 on the same double is the same IEEE add on
+    both engines). The engine side diffs only buckets whose file lists
+    changed between the manifests."""
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batch = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_del"),
+    )
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="changelog_q_"), buckets=8)
+    s1 = t.merge(v1, ["o_orderkey"], batch_id="v1")
+    s2 = t.merge(batch, ["o_orderkey"], batch_id="v2", delete_col="is_del")
+    return t.changelog(s1, s2)
+
+
 _BM25_TERMS = ["hash", "join", "merge"]
 
 

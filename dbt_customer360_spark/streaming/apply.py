@@ -49,6 +49,7 @@ class CDCApplier:
         keep_snapshots: int = 4,
         lineage_grain: str = "epoch",
         partition_col: str = "source_connector",
+        quarantine_root: str | None = None,
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -82,13 +83,26 @@ class CDCApplier:
         that partition's offset range / rows / deletes — the north_star's
         per-partition lineage. Partition grain costs one extra
         column-pruned aggregation job over the batch (Observations are
-        global-only); epochs stay the default for throughput."""
+        global-only); epochs stay the default for throughput.
+
+        ``quarantine_root``: dead-letter table for malformed events.
+        When set, rows that cannot merge (NULL lsn, NULL merge key,
+        unknown op) are appended there with a ``__reason`` + ``epoch``
+        instead of poisoning or failing the batch; valid rows proceed.
+        Exactly-once: the quarantine append carries its own idempotent
+        batch id, so a replayed epoch re-quarantines nothing. Cost: one
+        extra column-pruned validation job per batch (keys/lsn/op only,
+        never content); a clean batch adds NO filter to the merge plan,
+        and None (default) skips validation entirely."""
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
         self.assume_dense_batches = assume_dense_batches
         self.hot_key_salt = hot_key_salt
         self.lineage = (
             LakeTable(spark, lineage_root, buckets=1) if lineage_root else None
+        )
+        self.quarantine = (
+            LakeTable(spark, quarantine_root, buckets=1) if quarantine_root else None
         )
         self.lineage_grain = lineage_grain
         self.partition_col = partition_col
@@ -149,6 +163,26 @@ class CDCApplier:
             return {"epoch": str(epoch_id), "skipped": True, "rows_applied": 0}
 
         batch = self.table.resolve_feed_columns(batch)
+        n_quarantined = 0
+        if self.quarantine is not None:
+            reason = F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
+            for k in KEYS:
+                reason = reason.when(F.col(k).isNull(), F.lit(f"null_key_{k}"))
+            reason = reason.when(
+                F.col("op").isNull()
+                | ~F.col("op").isin("insert", "update", "delete"),
+                F.lit("bad_op"),
+            )
+            flagged = batch.withColumn("__reason", reason)
+            bad = flagged.filter(F.col("__reason").isNotNull())
+            n_quarantined = bad.count()  # column-pruned: keys/lsn/op only
+            if n_quarantined:
+                self.quarantine.append(
+                    bad.withColumn("epoch", F.lit(str(epoch_id))),
+                    batch_id=f"quarantine-{batch_id}",
+                )
+                batch = flagged.filter(F.col("__reason").isNull()).drop("__reason")
+            # clean batch: keep the original plan — no residual filter
         stat_aggs = [
             F.count(F.lit(1)).alias("rows_applied"),
             F.min("lsn").alias("min_lsn"),
@@ -216,6 +250,7 @@ class CDCApplier:
             "epoch": str(epoch_id),
             "skipped": False,
             "rows_applied": stats["rows_applied"] or 0,
+            "quarantined": n_quarantined,
             "deletes": stats["deletes"] or 0,
             "min_lsn": stats["min_lsn"],
             "max_lsn": stats["max_lsn"],
@@ -291,6 +326,12 @@ class CDCApplier:
         ):
             self.maybe_maintain()
         return lineage
+
+    def quarantined(self) -> DataFrame:
+        """Dead-letter rows (original event columns + __reason + epoch)."""
+        if self.quarantine is None:
+            raise ValueError("CDCApplier was built without quarantine_root")
+        return self.quarantine.read()
 
     def state(self) -> DataFrame:
         """Live table state: tombstones filtered, internal columns hidden."""

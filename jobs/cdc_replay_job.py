@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic events instead")
     ap.add_argument("--table", required=True, help="repos lake-table root")
     ap.add_argument("--lineage", default=None, help="lineage lake-table root")
+    ap.add_argument(
+        "--quarantine",
+        default=None,
+        help="dead-letter lake-table root: malformed events (NULL lsn/key, "
+        "unknown op) are appended there with a reason instead of failing "
+        "the batch",
+    )
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     ap.add_argument("--mode", choices=["batch", "stream"], default="batch")
     ap.add_argument("--batches", type=int, default=8)
@@ -117,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         maintenance_every=args.maintenance_every or None,
         keep_snapshots=args.keep_snapshots,
         lineage_grain=args.lineage_grain,
+        quarantine_root=args.quarantine,
     )
 
     t0 = time.time()

@@ -336,3 +336,49 @@ def test_job_cli_rollback_command(spark):
         for r in LakeTable(spark, f"{root}/repos", buckets=4).read().collect()
     }
     assert after == before
+
+
+def test_quarantine_dead_letters_malformed_events(spark):
+    """Malformed events (NULL lsn / NULL key / unknown op) land in the
+    dead-letter table with a reason instead of failing or silently
+    merging; valid rows of the same batch apply normally; a replayed
+    epoch re-quarantines nothing (idempotent batch ids)."""
+    root = tempfile.mkdtemp(prefix="cdc_q_")
+    ap = CDCApplier(
+        spark, f"{root}/repos", buckets=4, quarantine_root=f"{root}/deadletter"
+    )
+    good = _events(spark, n=400)
+    bad_rows = [
+        (None, "insert", "rX", "p1", "c", "py", "x", "s1", None),   # null lsn
+        (10**9, "insert", None, "p2", "c", "py", "x", "s1", None),  # null key
+        (10**9 + 1, "truncate", "rX", "p3", "c", "py", "x", "s1", None),  # bad op
+        (10**9 + 2, None, "rX", "p4", "c", "py", "x", "s1", None),  # null op
+    ]
+    bad = spark.createDataFrame(
+        bad_rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp",
+    )
+    stats = ap.apply_batch(good.unionByName(bad), epoch_id=0)
+    assert stats["quarantined"] == 4
+    assert stats["rows_applied"] == 400
+    dl = {(r.repo, r.path): r["__reason"] for r in ap.quarantined().collect()}
+    assert dl == {
+        ("rX", "p1"): "null_lsn",
+        (None, "p2"): "null_key_repo",
+        ("rX", "p3"): "bad_op",
+        ("rX", "p4"): "bad_op",
+    }
+    assert {r.epoch for r in ap.quarantined().collect()} == {"0"}
+    # the malformed keys never reached the table
+    live = {(r.repo, r.path) for r in ap.state().collect()}
+    assert ("rX", "p3") not in live and ("rX", "p1") not in live
+    # engine state matches the oracle over the VALID rows only
+    assert _sha(_engine_state(ap)) == _sha(_python_oracle(good.collect()))
+    # replay of the same epoch: skipped, nothing re-quarantined
+    again = ap.apply_batch(good.unionByName(bad), epoch_id=0)
+    assert again["skipped"] and ap.quarantined().count() == 4
+    # clean next epoch: no quarantine rows added, applies normally
+    more = generate_change_events(spark, n_events=100, n_repos=5, paths_per_repo=4)
+    s2 = ap.apply_batch(more, epoch_id=1)
+    assert s2["quarantined"] == 0 and ap.quarantined().count() == 4

@@ -327,3 +327,132 @@ def test_commit_conflict_detected_not_overwritten(spark):
     retry["batch_ids"].append("loser")
     assert t._commit(retry) == 3
     assert retry["snapshot_id"] == 3  # successful commit bumps the caller's dict
+
+
+def test_changelog_insert_update_delete(spark):
+    """changelog(a, b): net row-level diff typed insert / update_pre+post /
+    delete; unchanged rows emit nothing; preimage suppressible."""
+    t = _table(spark)
+    base = spark.createDataFrame(
+        [("r1", "a", 1), ("r1", "b", 2), ("r2", "a", 3)],
+        "repo string, path string, v int",
+    )
+    s1 = t.merge(base, ["repo", "path"], batch_id="b0")
+    batch = spark.createDataFrame(
+        [("r1", "a", 10, False), ("r2", "a", 0, True), ("r3", "z", 7, False)],
+        "repo string, path string, v int, is_del boolean",
+    )
+    s2 = t.merge(batch, ["repo", "path"], batch_id="b1", delete_col="is_del")
+    got = {
+        (r._change_type, r.repo, r.path, r.v)
+        for r in t.changelog(s1, s2).collect()
+    }
+    assert got == {
+        ("update_preimage", "r1", "a", 1),
+        ("update_postimage", "r1", "a", 10),
+        ("delete", "r2", "a", 3),
+        ("insert", "r3", "z", 7),
+    }  # ('r1','b') unchanged -> absent
+    post_only = {
+        (r._change_type, r.repo, r.path, r.v)
+        for r in t.changelog(s1, s2, include_preimage=False).collect()
+    }
+    assert post_only == got - {("update_preimage", "r1", "a", 1)}
+
+
+def test_changelog_net_effect_and_bucket_pruning(spark):
+    """A row inserted then deleted inside the span emits nothing; the
+    diff reads ONLY buckets whose file lists changed between the
+    manifests (scan-pruning at the heart of the 100 TB story)."""
+    t = _table(spark, buckets=8)
+    rows = [(f"r{i}", "p", i) for i in range(16)]
+    s1 = t.merge(
+        spark.createDataFrame(rows, "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    # touch one key (update) + insert-then-delete another
+    t.merge(
+        spark.createDataFrame(
+            [("r3", "p", 333, False), ("zz", "q", 1, False)],
+            "repo string, path string, v int, is_del boolean",
+        ),
+        ["repo", "path"],
+        batch_id="b1",
+        delete_col="is_del",
+    )
+    s3 = t.merge(
+        spark.createDataFrame(
+            [("zz", "q", 1, True)], "repo string, path string, v int, is_del boolean"
+        ),
+        ["repo", "path"],
+        batch_id="b2",
+        delete_col="is_del",
+    )
+    log = t.changelog(s1, s3)
+    got = {(r._change_type, r.repo, r.v) for r in log.collect()}
+    assert got == {
+        ("update_preimage", "r3", 3),
+        ("update_postimage", "r3", 333),
+    }, got
+    # pruning: the scan must reference only the changed buckets' files
+    m1, m3 = t._read_manifest(s1), t._read_manifest(s3)
+    unchanged = {
+        p
+        for b in m1["files"]
+        if m1["files"].get(b) == m3["files"].get(b)
+        for p in m1["files"][b]
+    }
+    assert unchanged, "test needs untouched buckets to be meaningful"
+    plan = log._jdf.queryExecution().executedPlan().toString()
+    for p in unchanged:
+        assert p not in plan, f"changelog scanned untouched bucket file {p}"
+
+
+def test_changelog_schema_evolution_span(spark):
+    """A column added inside the span NULL-backfills on the from side;
+    rows differing only in the new column classify as updates."""
+    t = _table(spark)
+    s1 = t.merge(
+        spark.createDataFrame([("r1", "a", 1)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    s2 = t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "main")], "repo string, path string, v int, branch string"
+        ),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    got = {
+        (r._change_type, r.v, r.branch) for r in t.changelog(s1, s2).collect()
+    }
+    assert got == {("update_preimage", 1, None), ("update_postimage", 1, "main")}
+
+
+def test_changelog_errors(spark):
+    t = _table(spark)
+    s1 = t.merge(
+        spark.createDataFrame([("r1", "a", 1)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    s2 = t.merge(
+        spark.createDataFrame([("r1", "a", 2)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="newer"):
+        t.changelog(s2, s1)
+    # expired from-side files must refuse, not silently mis-diff
+    t.merge(
+        spark.createDataFrame([("r1", "a", 3)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b2",
+    )
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        t.changelog(s1, s2)

@@ -1888,6 +1888,47 @@ def lake_changelog(spark, sf):
     return t.changelog(s1, s2)
 
 
+_SESSION_ORACLE = """
+    with marks as (
+      select user_id, event_id, ts, event_type,
+             case when lag(ts) over w is null
+                  or ts - lag(ts) over w > interval 30 minutes
+                  then 1 else 0 end as new_s
+      from events
+      window w as (partition by user_id order by ts, event_id)),
+    isl as (
+      select user_id, ts, event_type,
+             sum(new_s) over (partition by user_id order by ts, event_id
+                              rows unbounded preceding) as sid
+      from marks)
+    select user_id,
+           min(ts) as session_start,
+           max(ts) + interval 30 minutes as session_end,
+           count(*) as n_events,
+           count(distinct event_type) as n_event_types
+    from isl group by user_id, sid
+"""
+
+
+@extra_query("session_windows_events", _SESSION_ORACLE)
+def session_windows_events(spark, sf):
+    """Event-time session windows per user (streaming.stateful
+    .session_windows, F.session_window) — the sessionization primitive
+    run in batch mode here (unified semantics; the streaming twin adds
+    a watermark and finalizes sessions exactly-once in append mode).
+    The oracle replays it as gaps-and-islands SQL; an event exactly
+    30 minutes after its predecessor EXTENDS the session (verified
+    empirically on a real stream in
+    tests/test_streaming_stateful.py::test_session_windows_finalize
+    _with_watermark), hence the oracle's strict > comparator."""
+    e = _t(spark, sf, "events")
+    from dbt_customer360_spark.streaming import stateful
+
+    return stateful.session_windows(
+        e, key="user_id", gap="30 minutes"
+    ).withColumn("n_event_types", F.col("n_event_types").cast("long"))
+
+
 _BM25_TERMS = ["hash", "join", "merge"]
 
 

@@ -69,6 +69,46 @@ def windowed_change_counts(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-time SESSION windows per ``key``: consecutive events at
+    most ``gap`` apart merge into one session; only a STRICTLY larger
+    gap starts a new one (an event exactly ``gap`` after its
+    predecessor lands on the session's closing boundary and extends
+    it — pinned by a real-stream test). Emits (key, session_start,
+    session_end = last event + gap, n_events, n_event_types).
+
+    Unified batch/stream: on a stream the ``lateness`` watermark
+    bounds the session-merge state (a session finalizes once the
+    watermark passes its end — append mode emits it exactly once);
+    on a batch frame the same plan computes the gaps-and-islands
+    result directly. Scale: one shuffle on ``key``; state is O(open
+    sessions), not O(events) — Spark merges overlapping per-event
+    [ts, ts+gap) intervals inside the session-window aggregation.
+    """
+    df = events.withWatermark(ts_col, lateness) if events.isStreaming else events
+    return (
+        df.groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.size(F.collect_set(type_col)).alias("n_event_types"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "n_event_types",
+        )
+    )
+
+
 def streaming_exact_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -182,3 +182,44 @@ def test_stateful_lsn_filter_idle_ttl_evicts_state(spark, tmp_path):
     # NoTimeout keeps state forever -> the stale replay stays suppressed
     assert ("rA", "p", 3) not in no_ttl
     assert {("rA", "p", 5), ("rB", "q", 1), ("rB", "q", 2)} == no_ttl
+
+
+def test_session_windows_finalize_with_watermark(spark):
+    """Session windows on a real stream: events < gap apart merge, a
+    gap >= `gap` splits, and a session is emitted (append mode)
+    exactly once — after the watermark passes its end."""
+    src = tempfile.mkdtemp(prefix="stream_sess_")
+    # session A: two events 5 min apart (gap = 10 minutes)
+    _write_batch(spark, src, [
+        ("r1", "a", 1, "update", "c1", _ts(0, 0)),
+        ("r1", "b", 2, "insert", "c2", _ts(5, 0)),
+    ])
+    # exactly-gap boundary: 10:15 is 10 min after 10:05 — EXTENDS the
+    # session (closing-boundary adjacency merges; the oracle's strict
+    # > comparator encodes the same rule); 10:27 is 12 min after
+    # 10:15 — strictly past the gap, so it opens session B
+    _write_batch(spark, src, [
+        ("r1", "c", 3, "update", "c3", _ts(15, 0)),
+        ("r1", "d", 4, "update", "c4", _ts(27, 0)),
+    ])
+    # far-future event: watermark (lateness 1 min) passes both
+    # sessions' ends so they finalize and emit
+    _write_batch(spark, src, [
+        ("r2", "z", 9, "update", "cz", _ts(59, 0)),
+    ])
+    out = _run_two_trigger_stream(
+        spark,
+        src,
+        lambda df: stateful.session_windows(
+            df, key="repo", gap="10 minutes", lateness="1 minute", type_col="op"
+        ),
+        "sess_win",
+    )
+    got = {
+        (r.repo, r.session_start.minute, r.session_end.minute, r.n_events, r.n_event_types)
+        for r in out.collect()
+    }
+    # session A: [10:00, 10:15 + 10min = 10:25) — the exact-gap 10:15
+    # event merged in — 3 events, 2 op types
+    # session B: [10:27, 10:37), 1 event — opened by the 12-min gap
+    assert (("r1", 0, 25, 3, 2) in got) and (("r1", 27, 37, 1, 1) in got), got

@@ -26,12 +26,14 @@ AUDIT = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_int8",
     "emb_cosine_dedup",
     "pii_scrub_docs",
     "repetition_quality_docs",
     "quantize_int8_embeddings",
     "bm25_scores_docs",
     "minhash_canonical_docs",
+    "lake_changelog",
 ]
 
 RED_FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct"]
@@ -47,6 +49,7 @@ WHITELIST = {
     # (incl. each k-means iteration); the candidate join itself is a
     # centroid_id equi-join (pinned in tests/test_plans.py)
     "ann_ivf": ["BroadcastNestedLoopJoin"],
+    "ann_ivf_int8": ["BroadcastNestedLoopJoin"],
 }
 
 

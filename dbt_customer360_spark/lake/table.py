@@ -59,10 +59,23 @@ class CommitConflict(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        buckets: int = 16,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: columns whose per-file min/max are recorded
+        in the manifest at commit time (read straight off the parquet
+        footers — no Spark job) and used by :meth:`read_where` to skip
+        files a range predicate cannot match — Iceberg-manifest-style
+        data skipping. Sticky: recorded on the first commit that sees
+        it and honored by every later writer of the table."""
         self.spark = spark
         self.root = root
         self.buckets = buckets
+        self.stats_cols = stats_cols
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -110,6 +123,9 @@ class LakeTable:
         # snapshot N must land exactly at N+1, so a writer that raced
         # past us fails the create instead of silently discarding the
         # winner's file lists under a higher id
+        if self.stats_cols and not manifest.get("stats_cols"):
+            manifest["stats_cols"] = list(self.stats_cols)
+        self._reconcile_file_stats(manifest)
         sid = manifest["snapshot_id"] + 1
         path = os.path.join(self.root, "snapshots", f"{sid}.json")
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "snapshots"))
@@ -131,6 +147,130 @@ class LakeTable:
         os.remove(tmp)
         manifest["snapshot_id"] = sid
         return sid
+
+    @staticmethod
+    def _stat_json(v):
+        """Footer stat value -> JSON-comparable scalar. datetimes/dates
+        become isoformat strings (Python isoformat is lexicographically
+        chronological: fractions are either absent or 6 digits); bytes
+        decode best-effort; unsupported types return None (= no stat
+        recorded, file always read)."""
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    def _reconcile_file_stats(self, manifest: dict) -> None:
+        """Commit-time hook: drop stats of removed file entries, read
+        footer min/max for live entries that lack them. Footer-only —
+        pyarrow metadata reads, NO Spark job, O(new entries)."""
+        cols = manifest.get("stats_cols") or []
+        if not cols:
+            return
+        fs = manifest.setdefault("file_stats", {})
+        live = {p for paths in manifest["files"].values() for p in paths}
+        for k in list(fs):
+            if k not in live:
+                del fs[k]
+        import pyarrow.parquet as pq
+
+        for rel in live:
+            if rel in fs:
+                continue
+            root = os.path.join(self.root, "data", rel)
+            parts = (
+                [
+                    os.path.join(root, f)
+                    for f in os.listdir(root)
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(root)
+                else [root]
+            )
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            dropped: set[str] = set()
+            for part in parts:
+                md = pq.ParquetFile(part).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if name not in cols or name in dropped:
+                            continue
+                        st = col.statistics
+                        lo = self._stat_json(st.min) if st and st.has_min_max else None
+                        hi = self._stat_json(st.max) if st and st.has_min_max else None
+                        if lo is None or hi is None:
+                            # a single stat-less row group poisons the
+                            # whole entry for this column (conservative)
+                            dropped.add(name)
+                            mins.pop(name, None)
+                            maxs.pop(name, None)
+                            continue
+                        mins[name] = lo if name not in mins else min(mins[name], lo)
+                        maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            fs[rel] = {c: [mins[c], maxs[c]] for c in mins}
+
+    def read_where(
+        self,
+        ranges: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping scan: ``ranges`` maps column -> (lo, hi)
+        (either bound None = unbounded). File entries whose recorded
+        min/max cannot intersect a bound are NEVER opened — the
+        manifest prune that makes a point/range lookup on a 100 TB
+        table touch a handful of files instead of every bucket. The
+        residual predicate is still applied, so results are exact
+        regardless of stats coverage (entries without stats are always
+        read). SQL range semantics: NULLs never match."""
+        m = self._read_manifest(snapshot_id)
+        stats = m.get("file_stats", {})
+
+        def bound(v):
+            return self._stat_json(v) if not isinstance(v, (int, float, str)) else v
+
+        keep: list[str] = []
+        for paths in m["files"].values():
+            for p in paths:
+                s = stats.get(p, {})
+                skip = False
+                for c, (lo, hi) in ranges.items():
+                    if c not in s:
+                        continue
+                    mn, mx = s[c]
+                    lo_j, hi_j = bound(lo), bound(hi)
+                    if (hi_j is not None and mn is not None and mn > hi_j) or (
+                        lo_j is not None and mx is not None and mx < lo_j
+                    ):
+                        skip = True
+                        break
+                if not skip:
+                    keep.append(p)
+        schema_ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
+        if not keep:
+            df = local_df(self.spark, [], schema_ddl or "dummy string")
+        else:
+            df = self.spark.read.schema(schema_ddl).parquet(
+                *[os.path.join(self.root, "data", p) for p in keep]
+            )
+        df = df.select(*[n for n, _ in m["schema"]])
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
     def committed_batch_ids(self) -> set[str]:
         return set(self._read_manifest()["batch_ids"])

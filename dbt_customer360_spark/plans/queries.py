@@ -1929,6 +1929,47 @@ def session_windows_events(spark, sf):
     ).withColumn("n_event_types", F.col("n_event_types").cast("long"))
 
 
+@extra_query(
+    "lake_read_where",
+    """
+    select o_orderkey, o_totalprice, o_orderdate
+    from orders
+    where o_orderkey % 3 <> 0
+      and o_totalprice >= 40000 and o_totalprice <= 90000
+      and o_orderdate >= timestamp '1999-06-01'
+    """,
+)
+def lake_read_where(spark, sf):
+    """Data-skipping scan (LakeTable.read_where): manifest file stats
+    (parquet-footer min/max, recorded commit-time with no Spark job)
+    prune file entries a range predicate cannot match; the residual
+    filter keeps results exact — so this must hash-match a plain SQL
+    range filter. The pruning itself is plan-asserted in
+    tests/test_lake.py::test_read_where_data_skipping."""
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 != 0)
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="readwhere_q_"),
+        buckets=8,
+        stats_cols=["o_totalprice", "o_orderdate"],
+    )
+    t.merge(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"),
+        ["o_orderkey"],
+        batch_id="v1",
+    )
+    import datetime as _dt
+
+    return t.read_where(
+        {
+            "o_totalprice": (40000.0, 90000.0),
+            "o_orderdate": (_dt.datetime(1999, 6, 1), None),
+        }
+    )
+
+
 _BM25_TERMS = ["hash", "join", "merge"]
 
 

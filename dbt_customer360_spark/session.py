@@ -77,6 +77,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (the legacy default) writes NO footer statistics, which
+        # blinds manifest-level timestamp data skipping (LakeTable
+        # read_where); TIMESTAMP_MICROS is the modern annotated type
+        # with real min/max stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -456,3 +456,95 @@ def test_changelog_errors(spark):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         t.changelog(s1, s2)
+
+
+def test_read_where_data_skipping(spark):
+    """Manifest file stats (footer min/max, no Spark job) + read_where:
+    results are exactly the residual filter's, and entries whose range
+    cannot match are never opened (plan-asserted)."""
+    import datetime as dt
+
+    t = LakeTable(
+        spark, tempfile.mkdtemp(prefix="lakestats_"), buckets=4,
+        stats_cols=["lsn", "ts"],
+    )
+    rows = [
+        (f"r{i}", "p", i * 100, dt.datetime(2024, 1, 1 + i % 20, 12, 0))
+        for i in range(40)
+    ]
+    t.merge(
+        spark.createDataFrame(rows, "repo string, path string, lsn long, ts timestamp"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    m = t._read_manifest()
+    assert m["stats_cols"] == ["lsn", "ts"]
+    all_entries = [p for ps in m["files"].values() for p in ps]
+    assert all(e in m["file_stats"] for e in all_entries)
+    assert all(
+        set(m["file_stats"][e]) == {"lsn", "ts"} for e in all_entries
+    ), m["file_stats"]
+
+    # exact-result check vs a full-scan filter
+    got = {(r.repo, r.lsn) for r in t.read_where({"lsn": (3800, None)}).collect()}
+    want = {
+        (r.repo, r.lsn)
+        for r in t.read().filter(F.col("lsn") >= 3800).collect()
+    }
+    assert got == want and got  # non-empty
+    # pruning: entries whose lsn-max < 3800 must not appear in the plan
+    plan = (
+        t.read_where({"lsn": (3800, None)})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    prunable = [
+        e for e in all_entries if m["file_stats"][e]["lsn"][1] < 3800
+    ]
+    assert prunable, "test needs at least one prunable entry"
+    for e in prunable:
+        assert e not in plan, f"read_where opened prunable entry {e}"
+
+    # timestamp-range pruning (iso-string stats), exact results
+    lo = dt.datetime(2024, 1, 18)
+    got_ts = {r.repo for r in t.read_where({"ts": (lo, None)}).collect()}
+    want_ts = {r.repo for r in t.read().filter(F.col("ts") >= F.lit(lo)).collect()}
+    assert got_ts == want_ts and got_ts
+
+    # a column without recorded stats falls back to read-everything +
+    # residual filter (still exact)
+    got_r = {r.repo for r in t.read_where({"repo": ("r39", "r39")}).collect()}
+    assert got_r == {"r39"}
+
+    # an empty-intersection range reads nothing and returns no rows
+    assert t.read_where({"lsn": (10**9, None)}).count() == 0
+
+
+def test_read_where_stats_survive_merge_and_rollback(spark):
+    """Stats reconcile at every commit: carried-over entries keep
+    theirs, rewritten buckets get fresh footers, rollback re-prunes
+    against the restored file list."""
+    t = LakeTable(
+        spark, tempfile.mkdtemp(prefix="lakestats2_"), buckets=4,
+        stats_cols=["lsn"],
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"r{i}", "p", i) for i in range(20)],
+            "repo string, path string, lsn long",
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    s1 = t.current_snapshot_id()
+    t.merge(
+        spark.createDataFrame([("r0", "p", 999)], "repo string, path string, lsn long"),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    m = t._read_manifest()
+    live = {p for ps in m["files"].values() for p in ps}
+    assert set(m["file_stats"]) == live  # no stale entries, full coverage
+    assert {r.lsn for r in t.read_where({"lsn": (999, None)}).collect()} == {999}
+    t.rollback_to(s1)
+    assert t.read_where({"lsn": (999, None)}).count() == 0
+    assert {r.lsn for r in t.read_where({"lsn": (19, None)}).collect()} == {19}

@@ -107,6 +107,13 @@ class LakeTable:
                 # merge write needs no second shuffle; tables created
                 # before this field default to the legacy xxhash64 layout
                 "bucket_fn": "murmur3",
+                # the bucket COUNT is part of the physical layout and
+                # rides the manifest: a writer opening the table with a
+                # different constructor value would otherwise compute a
+                # different pmod layout — touched-bucket pruning then
+                # reads the wrong files and a merge can DUPLICATE a key
+                # (one row per layout). Readers honor the manifest.
+                "buckets": self.buckets,
             }
         with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
             return json.load(f)
@@ -285,7 +292,7 @@ class LakeTable:
             h = F.hash(*[F.col(k) for k in keys])
         else:
             h = F.xxhash64(*[F.col(k) for k in keys])
-        return F.pmod(h, F.lit(self.buckets))
+        return F.pmod(h, F.lit(manifest.get("buckets", self.buckets)))
 
     # --- reads ------------------------------------------------------------------
 
@@ -449,11 +456,12 @@ class LakeTable:
         out_abs = os.path.join(self.root, "data", out_rel)
         bucket_col = self._bucket_expr(keys, manifest)
         df = df.withColumn("__bucket", bucket_col)
+        n_buckets = manifest.get("buckets", self.buckets)
         if not pre_partitioned:
             if manifest.get("bucket_fn", "xxhash64") == "murmur3":
-                df = df.repartition(self.buckets, *keys)
+                df = df.repartition(n_buckets, *keys)
             else:
-                df = df.repartition(self.buckets, "__bucket")
+                df = df.repartition(n_buckets, "__bucket")
         (
             df.write.partitionBy("__bucket")
             .mode("overwrite")
@@ -647,7 +655,9 @@ class LakeTable:
                 # unique per key) and measured 1.7x faster end-to-end;
                 # a stream with one pathological hot key should use
                 # ``salt``, which keeps the combine-first shape.
-                unioned = unioned.repartition(self.buckets, *[F.col(k) for k in keys])
+                unioned = unioned.repartition(
+                    m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+                )
             merged = (
                 unioned.groupBy(*[F.col(k) for k in keys])
                 .agg(F.max_by(row, order).alias("__w"))
@@ -703,6 +713,27 @@ class LakeTable:
         df = self.read()
         if drop_tombstones_col and drop_tombstones_col in df.columns:
             df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
+        m["files"] = self._write_bucket_files(df, keys, m)
+        m["keys"] = keys
+        return self._commit(m)
+
+    def bucket_count(self, snapshot_id: int | None = None) -> int:
+        """The table's COMMITTED bucket count (manifests created before
+        the field fall back to the constructor value)."""
+        return self._read_manifest(snapshot_id).get("buckets", self.buckets)
+
+    def rebucket(self, new_buckets: int, keys: list[str] | None = None) -> int:
+        """Change the bucket layout — the operational move when a table
+        outgrows its create-time count (a 100 TB table wants a bucket
+        ~ a few GB). One full rewrite under the new count; the recorded
+        count and the rewritten file lists change in the SAME atomic
+        commit, so concurrent writers either see the old layout whole
+        or the new one (a racer committing against the old manifest
+        gets CommitConflict and re-reads)."""
+        m = self._read_manifest()
+        keys = keys or m.get("keys") or [m["schema"][0][0]]
+        df = self.read()
+        m["buckets"] = new_buckets
         m["files"] = self._write_bucket_files(df, keys, m)
         m["keys"] = keys
         return self._commit(m)

@@ -205,7 +205,9 @@ class CDCApplier:
             KEYS,
             lsn_col="__max_lsn",
             batch_id=batch_id,
-            touched=list(range(self.table.buckets)) if self.assume_dense_batches else None,
+            touched=list(range(self.table.bucket_count()))
+            if self.assume_dense_batches
+            else None,
             salt=self.hot_key_salt,
         )
         want_partition_rows = (

@@ -616,3 +616,56 @@ def test_changelog_reader_incremental_consumption(spark):
     assert downstream == table_now() == {("r1", "a"): 10, ("r3", "c"): 3}
     assert _os.path.exists(f"{root}/cursor.json")
     assert reader.position() == t.current_snapshot_id()
+
+
+def test_bucket_count_rides_the_manifest(spark):
+    """Regression: reopening a table with a different constructor
+    `buckets` must NOT change the layout math — before the fix the
+    mismatched pmod made touched-bucket pruning read the wrong files
+    and a merge DUPLICATED the updated key (one row per layout)."""
+    root = tempfile.mkdtemp(prefix="lakebuckets_")
+    t8 = LakeTable(spark, root, buckets=8)
+    t8.merge(
+        spark.createDataFrame(
+            [(f"r{i}", "p", i) for i in range(20)], "repo string, path string, v int"
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    t4 = LakeTable(spark, root, buckets=4)  # wrong constructor value
+    assert t4.bucket_count() == 8  # manifest wins
+    t4.merge(
+        spark.createDataFrame([("r0", "p", 100)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    rows = t4.read().collect()
+    assert len(rows) == 20
+    assert {r.v for r in rows if r.repo == "r0"} == {100}
+
+
+def test_rebucket_rewrites_layout_atomically(spark):
+    """rebucket(): full rewrite under the new count; subsequent merges
+    prune correctly against the new layout; state is unchanged."""
+    root = tempfile.mkdtemp(prefix="lakerebucket_")
+    t = LakeTable(spark, root, buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [(f"r{i}", "p", i) for i in range(30)], "repo string, path string, v int"
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    before = {(r.repo, r.v) for r in t.read().collect()}
+    t.rebucket(8)
+    assert t.bucket_count() == 8
+    m = t._read_manifest()
+    assert len(m["files"]) > 2  # really spread across the new layout
+    assert {(r.repo, r.v) for r in t.read().collect()} == before
+    t.merge(
+        spark.createDataFrame([("r3", "p", 999)], "repo string, path string, v int"),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    rows = t.read().collect()
+    assert len(rows) == 30 and {r.v for r in rows if r.repo == "r3"} == {999}

@@ -523,6 +523,7 @@ class LakeTable:
                 )
             return self.overwrite(batch, keys, batch_id)
 
+        self._check_merge_keys(m, keys)
         self._merge_schema(m, batch.drop(delete_col) if delete_col else batch)
 
         bucket_col = self._bucket_expr(keys, m)
@@ -600,6 +601,7 @@ class LakeTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["snapshot_id"]
+        self._check_merge_keys(m, keys)
         self._merge_schema(m, batch)
         batch = self._conform(batch, m)
 
@@ -716,6 +718,21 @@ class LakeTable:
         m["files"] = self._write_bucket_files(df, keys, m)
         m["keys"] = keys
         return self._commit(m)
+
+    def _check_merge_keys(self, m: dict, keys: list[str]) -> None:
+        """Incremental merges prune by the bucket layout, which is a
+        function of the KEYS the files were written under — merging by
+        different keys would read the wrong buckets and duplicate or
+        drop rows (same corruption class as a bucket-count mismatch).
+        Refuse; an intentional re-layout is compact(keys=...) or
+        rebucket(), both full rewrites."""
+        if m.get("keys") and list(m["keys"]) != list(keys) and m["files"]:
+            raise ValueError(
+                f"merge keys {list(keys)} differ from the table's bucket-layout "
+                f"keys {list(m['keys'])}; an incremental merge would prune the "
+                "wrong buckets. Re-layout explicitly with compact(keys=...) or "
+                "rebucket(new_buckets, keys=...)."
+            )
 
     def bucket_count(self, snapshot_id: int | None = None) -> int:
         """The table's COMMITTED bucket count (manifests created before

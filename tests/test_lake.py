@@ -669,3 +669,34 @@ def test_rebucket_rewrites_layout_atomically(spark):
     )
     rows = t.read().collect()
     assert len(rows) == 30 and {r.v for r in rows if r.repo == "r3"} == {999}
+
+
+def test_merge_refuses_mismatched_keys(spark):
+    """An incremental merge by different keys than the bucket layout
+    must refuse (it would prune the wrong buckets); a full-rewrite
+    re-layout via compact(keys=...) is the sanctioned path and
+    subsequent merges under the new keys work."""
+    import pytest
+
+    t = _table(spark)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1), ("r2", "b", 2)], "repo string, path string, v int"
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    with pytest.raises(ValueError, match="bucket-layout"):
+        t.merge(
+            spark.createDataFrame([("r1", "a", 9)], "repo string, path string, v int"),
+            ["repo"],
+            batch_id="b1",
+        )
+    t.compact(keys=["repo"])  # explicit re-layout
+    t.merge(
+        spark.createDataFrame([("r1", "z", 9)], "repo string, path string, v int"),
+        ["repo"],
+        batch_id="b2",
+    )
+    got = {(r.repo, r.path, r.v) for r in t.read().collect()}
+    assert got == {("r1", "z", 9), ("r2", "b", 2)}

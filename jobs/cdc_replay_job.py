@@ -82,6 +82,18 @@ def main(argv: list[str] | None = None) -> int:
         "--lineage-grain", choices=["epoch", "partition"], default="epoch",
         help="'partition' adds per-source-partition offset-range lineage rows",
     )
+    ap.add_argument(
+        "--emit-changes", metavar="OUT_DIR", default=None,
+        help="ops command: write the row-level changelog since --cursor's "
+        "position to OUT_DIR as parquet, advance the cursor, and exit "
+        "(downstream CDC-out sync; at-least-once - the cursor commits only "
+        "after the write lands)",
+    )
+    ap.add_argument(
+        "--cursor", default=None,
+        help="cursor file for --emit-changes (created at first use; position "
+        "0 emits the whole table as inserts = initial sync)",
+    )
     args = ap.parse_args(argv)
 
     from dbt_customer360_spark.session import get_spark
@@ -112,6 +124,29 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.emit_changes is not None:
+        from dbt_customer360_spark.lake.table import ChangelogReader, LakeTable
+
+        if not args.cursor:
+            print("--emit-changes requires --cursor", file=sys.stderr)
+            return 2
+        table = LakeTable(spark, args.table, buckets=args.buckets)
+        reader = ChangelogReader(table, args.cursor)
+        polled = reader.poll()
+        if polled is None:
+            print(json.dumps({"mode": "emit-changes", "caught_up": True,
+                              "position": reader.position()}))
+            return 0
+        changes, to_sid = polled
+        from_sid = reader.position()
+        changes.write.mode("overwrite").parquet(args.emit_changes)
+        n = spark.read.parquet(args.emit_changes).count()
+        reader.commit(to_sid)  # at-least-once: only after the write landed
+        print(json.dumps({"mode": "emit-changes", "caught_up": False,
+                          "from_snapshot": from_sid, "to_snapshot": to_sid,
+                          "rows": n, "out": args.emit_changes}))
         return 0
 
     applier = CDCApplier(

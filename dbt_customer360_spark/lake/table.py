@@ -691,6 +691,13 @@ class LakeTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["snapshot_id"]
+        if m.get("keys"):
+            # appending to a key-merged table would silently break the
+            # one-row-per-key invariant every reader relies on
+            raise ValueError(
+                f"append-only commit on a table merged by keys {m['keys']}; "
+                "use merge()/merge_lsn() so key semantics hold"
+            )
         self._merge_schema(m, df)
         df = self._conform(df, m)
         out_rel = f"a{uuid.uuid4().hex[:12]}"
@@ -848,6 +855,37 @@ class LakeTable:
         return self._commit(new_manifest)
 
     # --- schema evolution ----------------------------------------------------------
+
+    def ops_report(self, count_tombstones_col: str | None = None) -> dict:
+        """Table-health summary for operators: manifest-only (no Spark
+        job) unless ``count_tombstones_col`` is given, which adds ONE
+        column-pruned count. The numbers an on-call actually pages on:
+        file churn (compaction debt), snapshot retention (rollback
+        horizon), and tombstone load (merge-on-read read tax)."""
+        m = self._read_manifest()
+        per_bucket = {b: len(v) for b, v in m["files"].items()}
+        report = {
+            "snapshot_id": m["snapshot_id"],
+            "snapshots_retained": len(self._snapshot_ids()),
+            "buckets": m.get("buckets", self.buckets),
+            "buckets_with_files": len(per_bucket),
+            "data_files": sum(per_bucket.values()),
+            "max_files_per_bucket": max(per_bucket.values(), default=0),
+            "schema_columns": len(m["schema"]),
+            "committed_batches": len(m["batch_ids"]),
+            "mapping_version": m.get("mapping_version", 0),
+            "keys": m.get("keys"),
+            "stats_cols": m.get("stats_cols"),
+        }
+        if count_tombstones_col and any(
+            n == count_tombstones_col for n, _ in m["schema"]
+        ):
+            df = self.read()
+            report["tombstones"] = df.filter(
+                F.coalesce(F.col(count_tombstones_col), F.lit(False))
+            ).count()
+            report["live_rows"] = df.count() - report["tombstones"]
+        return report
 
     def rename_column(self, old: str, new: str) -> int:
         """Record a feed-side rename: feed column ``new`` maps to the

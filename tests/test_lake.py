@@ -700,3 +700,31 @@ def test_merge_refuses_mismatched_keys(spark):
     )
     got = {(r.repo, r.path, r.v) for r in t.read().collect()}
     assert got == {("r1", "z", 9), ("r2", "b", 2)}
+
+
+def test_append_refuses_key_merged_table_and_ops_report(spark):
+    """append() on a key-merged table would silently duplicate keys —
+    refuse; ops_report() summarizes table health manifest-only, with
+    an optional one-job tombstone count."""
+    import pytest
+
+    t = _table(spark)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, False), ("r2", "b", 2, True)],
+            "repo string, path string, v int, __deleted boolean",
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    with pytest.raises(ValueError, match="key semantics"):
+        t.append(spark.createDataFrame([("r1", "a", 9, False)],
+                                       "repo string, path string, v int, __deleted boolean"))
+    rep = t.ops_report(count_tombstones_col="__deleted")
+    assert rep["keys"] == ["repo", "path"] and rep["buckets"] == 4
+    assert rep["data_files"] >= 1 and rep["snapshot_id"] == 1
+    assert rep["tombstones"] == 1 and rep["live_rows"] == 1
+    # append-only tables (no keys) still append fine + report
+    lin = _table(spark)
+    lin.append(spark.createDataFrame([(1,)], "n int"), batch_id="a0")
+    assert lin.ops_report()["committed_batches"] == 1

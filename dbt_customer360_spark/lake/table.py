@@ -718,12 +718,18 @@ class LakeTable:
         deletes — safe once no replayable stream can carry LSNs at or
         below the live watermark)."""
         m = self._read_manifest()
+        explicit = keys is not None
         keys = keys or m.get("keys") or [m["schema"][0][0]]
         df = self.read()
         if drop_tombstones_col and drop_tombstones_col in df.columns:
             df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
         m["files"] = self._write_bucket_files(df, keys, m)
-        m["keys"] = keys
+        if explicit or m.get("keys"):
+            # record merge keys only where key semantics exist — an
+            # append-only table (lineage/metrics) compacts under a
+            # default layout column WITHOUT acquiring keys, which would
+            # make its next append() refuse
+            m["keys"] = keys
         return self._commit(m)
 
     def _check_merge_keys(self, m: dict, keys: list[str]) -> None:

@@ -132,9 +132,15 @@ def test_compaction_drops_tombstones_and_merges_files(spark):
         "repo string, path string, __max_lsn long, __deleted boolean",
     )
     t.merge_lsn(df, ["repo", "path"], batch_id="b0")
+    # pile up per-bucket delta files through further merges (append() is
+    # refused on key-merged tables — see test_append_refused_on_merged_table)
     for i in range(3):
-        t.append(
-            spark.createDataFrame([(f"e{i}", i)], "epoch string, n long"),
+        t.merge_lsn(
+            spark.createDataFrame(
+                [(f"r{i}", f"x{i}", 10 + i, False)],
+                "repo string, path string, __max_lsn long, __deleted boolean",
+            ),
+            ["repo", "path"],
             batch_id=f"a{i}",
         )
     n_files_before = sum(len(v) for v in t._read_manifest()["files"].values())
@@ -232,7 +238,7 @@ def test_expire_snapshots_vacuums_unreferenced_files(spark):
 def test_maybe_compact_is_cost_gated(spark):
     t = _table(spark, buckets=1)
     df = spark.createDataFrame([("r", "p", 1)], "repo string, path string, v int")
-    t.overwrite(df, ["repo", "path"])
+    t.append(df)
     assert t.maybe_compact(max_files_per_bucket=4) is None  # tight layout: no-op
     for i in range(6):
         t.append(spark.createDataFrame([("r", f"a{i}", i)], "repo string, path string, v int"))

@@ -2133,3 +2133,46 @@ def udf_sha256_lang(spark, sf):
         "raw_lang",
         U.normalize_lang("raw_lang").alias("lang_norm"),
     )
+
+
+# =============================================================================
+# Training-data prep: chunking + corpus balancing (engine-native surface)
+# =============================================================================
+
+from dbt_customer360_spark.operators import chunking as CH  # noqa: E402
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 1.0, "zh": 0.1, "fr": 0.25}
+
+
+@extra_query(
+    "chunk_documents_docs",
+    CH.chunk_sql("documents", keep_cols="doc_id, lang", chunk_tokens=32, overlap=4),
+)
+def chunk_documents_docs(spark, sf):
+    """Fixed-token-budget overlapping chunking of the corpus — the
+    tokenize-and-pack precursor every context-window-bounded consumer
+    needs. Zero-shuffle native fan-out (split/sequence/posexplode/
+    slice); the oracle is generated from the same parameters
+    (operators/chunking.py)."""
+    d = _t(spark, sf, "documents")
+    return CH.chunk_documents(
+        d.select("doc_id", "lang", "text"), chunk_tokens=32, overlap=4
+    )
+
+
+@extra_query(
+    "stratified_sample_docs",
+    CH.stratified_sample_sql(
+        "documents", "lang", _SAMPLE_FRACTIONS, "doc_id", select="doc_id, lang, source"
+    ),
+)
+def stratified_sample_docs(spark, sf):
+    """Deterministic per-language corpus balancing: keep-iff
+    md5(doc_id)-prefix < stratum threshold — partition-independent,
+    re-run-stable, and monotone in the fraction (raising a rate
+    supersets the earlier sample). Compiles to a literal CASE filter:
+    no join, no RNG, survives any repartitioning at 100 TB."""
+    d = _t(spark, sf, "documents")
+    return CH.stratified_sample(d, "lang", _SAMPLE_FRACTIONS, "doc_id").select(
+        "doc_id", "lang", "source"
+    )

@@ -438,6 +438,7 @@ class LakeTable:
         keys: list[str],
         manifest: dict | None = None,
         pre_partitioned: bool = False,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df as one parquet dir per hash-bucket of the merge keys.
 
@@ -449,6 +450,18 @@ class LakeTable:
         aggregation — passes ``pre_partitioned=True`` and the write adds
         NO shuffle at all; the legacy xxhash64 layout shuffles on the
         computed bucket column as before.
+
+        When the manifest carries a ``sort_order`` (set by
+        ``compact(sort_by=...)``) every write — merges included — sorts
+        rows WITHIN each bucket partition on those columns before
+        writing (a per-partition sort, no extra exchange), so parquet
+        row groups stay range-disjoint on the sort columns and the
+        scan-side predicate pushdown keeps skipping row groups between
+        compactions. ``max_records_per_file`` additionally splits each
+        bucket into several part files and records EACH PART as its own
+        manifest entry, giving the commit-time footer stats — and
+        therefore :meth:`read_where`'s manifest prune — split-level
+        grain (Iceberg sort-order + split-planning analogue).
         """
         manifest = manifest if manifest is not None else self._read_manifest()
         out_id = uuid.uuid4().hex[:12]
@@ -462,16 +475,27 @@ class LakeTable:
                 df = df.repartition(n_buckets, *keys)
             else:
                 df = df.repartition(n_buckets, "__bucket")
-        (
-            df.write.partitionBy("__bucket")
-            .mode("overwrite")
-            .parquet(out_abs)
-        )
+        sort_by = manifest.get("sort_order") or []
+        if sort_by:
+            df = df.sortWithinPartitions("__bucket", *sort_by)
+        writer = df.write.partitionBy("__bucket").mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out_abs)
+        split_entries = bool(max_records_per_file)
         files: dict[str, list[str]] = {}
         for entry in os.listdir(out_abs):
             if entry.startswith("__bucket="):
                 b = entry.split("=")[1]
-                files[b] = [f"{out_rel}/{entry}"]
+                if split_entries:
+                    parts = sorted(
+                        f
+                        for f in os.listdir(os.path.join(out_abs, entry))
+                        if f.endswith(".parquet")
+                    )
+                    files[b] = [f"{out_rel}/{entry}/{p}" for p in parts]
+                else:
+                    files[b] = [f"{out_rel}/{entry}"]
         return files
 
     def _merge_schema(self, manifest: dict, df: DataFrame) -> list[str]:
@@ -710,20 +734,48 @@ class LakeTable:
         return self._commit(m)
 
     def compact(
-        self, keys: list[str] | None = None, drop_tombstones_col: str | None = None
+        self,
+        keys: list[str] | None = None,
+        drop_tombstones_col: str | None = None,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Rewrite the table into fresh bucket files: merges the small
         files accumulated by appends/merges and optionally drops
         merge-on-read tombstone rows (physical cleanup of logical
         deletes — safe once no replayable stream can carry LSNs at or
-        below the live watermark)."""
+        below the live watermark).
+
+        ``sort_by`` declares a PERSISTED secondary sort order (Iceberg
+        sort-order analogue): this rewrite and every later write sort
+        rows within each bucket on those columns (per-partition sort,
+        no extra shuffle), so scans filtering on them skip parquet row
+        groups. ``max_records_per_file`` splits each bucket into
+        range-disjoint part files recorded as individual manifest
+        entries, so :meth:`read_where` prunes at split grain — a point
+        or range lookup on the sort column opens ~one part per bucket
+        instead of the whole bucket. Pass ``sort_by=[]`` to drop a
+        previously persisted order."""
         m = self._read_manifest()
         explicit = keys is not None
         keys = keys or m.get("keys") or [m["schema"][0][0]]
+        if sort_by is not None:
+            known = {n for n, _ in m["schema"]}
+            bad = [c for c in sort_by if c not in known]
+            if bad:
+                raise ValueError(f"sort_by columns not in table schema: {bad}")
+            m["sort_order"] = sort_by
+            # a sort order without footer stats on its columns can't feed
+            # the manifest prune — record them from this commit onward
+            missing_stats = [c for c in sort_by if c not in (m.get("stats_cols") or [])]
+            if missing_stats:
+                m["stats_cols"] = (m.get("stats_cols") or []) + missing_stats
         df = self.read()
         if drop_tombstones_col and drop_tombstones_col in df.columns:
             df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
-        m["files"] = self._write_bucket_files(df, keys, m)
+        m["files"] = self._write_bucket_files(
+            df, keys, m, max_records_per_file=max_records_per_file
+        )
         if explicit or m.get("keys"):
             # record merge keys only where key semantics exist — an
             # append-only table (lineage/metrics) compacts under a
@@ -779,9 +831,20 @@ class LakeTable:
         churn / lineage tables). Returns the new snapshot id, or None
         when the layout is already tight — the maintenance hook a
         streaming job calls every N epochs without paying a rewrite
-        each time."""
+        each time.
+
+        Split part files (``compact(max_records_per_file=...)``, entries
+        ending in .parquet) are an INTENTIONAL layout, not debt — a
+        bucket's split parts count as one; only dir entries (merge
+        rewrites, appends) accumulate toward the threshold."""
         m = self._read_manifest()
-        worst = max((len(paths) for paths in m["files"].values()), default=0)
+
+        def debt(paths: list[str]) -> int:
+            dirs = sum(1 for p in paths if not p.endswith(".parquet"))
+            has_split_parts = dirs < len(paths)
+            return dirs + (1 if has_split_parts else 0)
+
+        worst = max((debt(paths) for paths in m["files"].values()), default=0)
         if worst <= max_files_per_bucket:
             return None
         return self.compact(keys=keys, drop_tombstones_col=drop_tombstones_col)
@@ -882,6 +945,7 @@ class LakeTable:
             "mapping_version": m.get("mapping_version", 0),
             "keys": m.get("keys"),
             "stats_cols": m.get("stats_cols"),
+            "sort_order": m.get("sort_order"),
         }
         if count_tombstones_col and any(
             n == count_tombstones_col for n, _ in m["schema"]

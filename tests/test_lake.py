@@ -734,3 +734,88 @@ def test_append_refuses_key_merged_table_and_ops_report(spark):
     lin = _table(spark)
     lin.append(spark.createDataFrame([(1,)], "n int"), batch_id="a0")
     assert lin.ops_report()["committed_batches"] == 1
+
+
+def test_sorted_split_compaction_prunes_at_split_grain(spark):
+    """compact(sort_by=..., max_records_per_file=...) — the Iceberg
+    sort-order + split-planning analogue: each bucket is rewritten as
+    range-disjoint part files with their own manifest entries, so a
+    range lookup on the sort column opens ~one part per bucket; later
+    merges keep sorting within buckets (sort_order persists)."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    t = _table(spark, buckets=2)
+    rows = [(f"r{i}", "p", i, 1000 + i) for i in range(200)]
+    t.merge_lsn(
+        spark.createDataFrame(rows, "repo string, path string, ts long, __max_lsn long"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    t.compact(sort_by=["ts"], max_records_per_file=25)
+    m = t._read_manifest()
+    assert m["sort_order"] == ["ts"]
+    assert "ts" in m["stats_cols"]  # auto-added so the prune can work
+    entries = [p for ps in m["files"].values() for p in ps]
+    assert len(entries) >= 6  # split: several parts per bucket
+    assert all(e.endswith(".parquet") for e in entries)
+    # parts are range-disjoint on ts within each bucket
+    for ps in m["files"].values():
+        spans = sorted(tuple(m["file_stats"][p]["ts"]) for p in ps)
+        for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+            assert hi_a < lo_b, spans
+    # a narrow range opens only the matching parts
+    q = t.read_where({"ts": (100, 110)})
+    opened = {f.split("/data/")[1] for f in q.inputFiles()}
+    assert len(opened) <= 4, opened  # <=2 parts x 2 buckets, not all ~16
+    assert {r.ts for r in q.collect()} == set(range(100, 111))
+    # a later merge maintains the persisted sort within rewritten buckets
+    t.merge_lsn(
+        spark.createDataFrame(
+            [("r5", "p", 5, 9000), ("zz", "q", 777, 9001)],
+            "repo string, path string, ts long, __max_lsn long",
+        ),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    m2 = t._read_manifest()
+    assert m2["sort_order"] == ["ts"]
+    new_entries = [
+        p for ps in m2["files"].values() for p in ps if p not in set(entries)
+    ]
+    assert new_entries
+    for rel in new_entries:
+        root = _os.path.join(t.root, "data", rel)
+        parts = (
+            [_os.path.join(root, f) for f in _os.listdir(root) if f.endswith(".parquet")]
+            if _os.path.isdir(root)
+            else [root]
+        )
+        for part in parts:
+            ts_vals = pq.read_table(part, columns=["ts"])["ts"].to_pylist()
+            assert ts_vals == sorted(ts_vals)
+    # rows all intact after merge over split entries
+    assert t.read().count() == 201
+    # dropping the order: plain compact keeps it, sort_by=[] clears it
+    t.compact()
+    assert t._read_manifest()["sort_order"] == ["ts"]
+    t.compact(sort_by=[])
+    assert t._read_manifest()["sort_order"] == []
+
+
+def test_maybe_compact_ignores_intentional_split_parts(spark):
+    """Split part files are layout, not debt: maybe_compact must not
+    collapse a freshly split-compacted table back into one file per
+    bucket on the next maintenance tick."""
+    t = _table(spark, buckets=2)
+    rows = [(f"r{i}", "p", i, i) for i in range(100)]
+    t.merge_lsn(
+        spark.createDataFrame(rows, "repo string, path string, ts long, __max_lsn long"),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    sid = t.compact(sort_by=["ts"], max_records_per_file=10)
+    m = t._read_manifest()
+    assert max(len(p) for p in m["files"].values()) > 4  # really split
+    assert t.maybe_compact(max_files_per_bucket=4) is None  # not debt
+    assert t._read_manifest()["snapshot_id"] == sid  # no rewrite happened

@@ -2176,3 +2176,57 @@ def stratified_sample_docs(spark, sf):
     return CH.stratified_sample(d, "lang", _SAMPLE_FRACTIONS, "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+# =============================================================================
+# As-of (temporal point-in-time) join (operators/asof.py)
+# =============================================================================
+
+_ASOF_ORACLE = """
+    with r as (
+      select o_custkey as user_id, o_orderkey as asof_orderkey,
+             o_totalprice as asof_totalprice,
+             o_orderdate + interval 23 years as rts
+      from orders),
+    c as (
+      select e.event_id, r.asof_orderkey, r.asof_totalprice, r.rts,
+             row_number() over (partition by e.event_id
+                                order by r.rts desc, r.asof_orderkey desc) as rn
+      from events e
+      join r on r.user_id = e.user_id and r.rts <= e.ts)
+    select e.event_id, e.user_id, e.ts,
+           c.asof_orderkey, c.asof_totalprice,
+           c.rts as asof_orderdate
+    from events e
+    left join (select * from c where rn = 1) c using (event_id)
+"""
+
+
+@extra_query("asof_join_events", _ASOF_ORACLE)
+def asof_join_events(spark, sf):
+    """Backward as-of join: each event picks its user's latest order AT
+    OR BEFORE the event time (orders shifted +23y so the histories
+    overlap), ties on the order date broken to the greatest orderkey.
+    The engine side is the one-shuffle union-sort operator — no join
+    node at all (plan-pinned in tests/test_asof.py); the oracle is the
+    naive join-then-rank rendering the operator exists to avoid (same
+    answer, quadratic on hot keys at scale)."""
+    from dbt_customer360_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    r = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+        F.expr("o_orderdate + interval 23 years").alias("rts"),
+    )
+    return asof_join(
+        e,
+        r,
+        ["user_id"],
+        "ts",
+        "rts",
+        ["asof_orderkey", "asof_totalprice"],
+        tiebreak="asof_orderkey",
+        matched_ts_col="asof_orderdate",
+    )

@@ -42,16 +42,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, TimestampType
+from pyspark.sql.types import DataType, TimestampNTZType, TimestampType
 
 __all__ = ["asof_join"]
 
 
 def _ts_seconds(col: Column, dtype: DataType) -> Column:
-    # timestamps compare through their epoch seconds; numeric ts
-    # columns are already in caller units and pass through
+    # exact epoch-seconds double (microsecond fraction kept); NTZ has
+    # no direct double cast and must hop through TIMESTAMP. Numeric ts
+    # columns are already in caller units and pass through.
+    if isinstance(dtype, TimestampNTZType):
+        return col.cast("timestamp").cast("double")
     if isinstance(dtype, TimestampType):
-        return F.unix_timestamp(col)
+        return col.cast("double")
     return col.cast("double")
 
 

@@ -2230,3 +2230,44 @@ def asof_join_events(spark, sf):
         tiebreak="asof_orderkey",
         matched_ts_col="asof_orderdate",
     )
+
+
+_RANGE_ORACLE = """
+    with r as (
+      select o_custkey as user_id, o_orderkey as ivl_orderkey,
+             o_totalprice as ivl_totalprice,
+             o_orderdate + interval 23 years as lo,
+             o_orderdate + interval 23 years
+               + (1 + o_orderkey % 14) * interval 1 day as hi
+      from orders)
+    select e.event_id, e.user_id, e.ts,
+           r.ivl_orderkey, r.ivl_totalprice, r.lo, r.hi
+    from events e
+    join r on r.user_id = e.user_id and e.ts between r.lo and r.hi
+"""
+
+
+@extra_query("range_join_events", _RANGE_ORACLE)
+def range_join_events(spark, sf):
+    """Point-in-interval range join: events against per-order activity
+    windows [orderdate, orderdate + 1..14 days] (shifted +23y into the
+    event epoch). The engine side is the bin-blocked equi-join
+    (operators/rangejoin.py, 1-week bins -> <=3 replicas per interval,
+    never a nested loop — plan-pinned in tests/test_rangejoin.py); the
+    oracle is the naive theta join it replaces."""
+    from dbt_customer360_spark.operators.rangejoin import point_in_interval_join
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    r = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey").alias("ivl_orderkey"),
+        F.col("o_totalprice").alias("ivl_totalprice"),
+        F.expr("o_orderdate + interval 23 years").alias("lo"),
+        F.expr(
+            "o_orderdate + interval 23 years"
+            " + make_dt_interval(cast(1 + o_orderkey % 14 as int), 0, 0, 0)"
+        ).alias("hi"),
+    )
+    return point_in_interval_join(
+        e, r, ["user_id"], "ts", "lo", "hi", bin_width=7 * 86400.0
+    )

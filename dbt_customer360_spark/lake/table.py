@@ -709,6 +709,104 @@ class LakeTable:
             m["batch_ids"].append(batch_id)
         return self._commit(m)
 
+    def merge_additive(
+        self,
+        delta: DataFrame,
+        keys: list[str],
+        liveness_col: str,
+        batch_id: str | None = None,
+    ) -> int:
+        """Additive MERGE: fold signed per-group deltas into stored
+        totals — ``MERGE ... WHEN MATCHED THEN UPDATE SET c = t.c + s.c
+        WHEN NOT MATCHED THEN INSERT ... `` plus ``DELETE WHERE
+        liveness = 0``, the write half of incremental view maintenance
+        (lake/ivm.py).
+
+        ``delta`` carries the group ``keys`` plus signed numeric
+        columns; every non-key column in the table schema must be
+        summable. ``liveness_col`` is the delta column counting live
+        source rows per group (+1 insert/postimage, -1
+        delete/preimage): groups whose stored liveness reaches 0 are
+        physically deleted, so a fully-retracted group vanishes instead
+        of lingering as a zero row.
+
+        Same one-shuffle shape as :meth:`merge_lsn`: union (touched
+        target rows ∪ delta rows), pre-partition by the keys on the
+        murmur3 bucket layout, and ONE groupBy-sum both combines and
+        lands rows in their write buckets — NULL group keys fold
+        together natively (groupBy, not a join, so no null-safe
+        equality dance). Only buckets containing delta keys are
+        rewritten; exactly-once via the ``batch_id`` ledger, which is
+        what makes at-least-once changelog redelivery safe upstream.
+        """
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return m["snapshot_id"]
+        if not self.exists() or not m["files"]:
+            live = delta.filter(F.col(liveness_col) > 0)
+            return self.overwrite(live, keys, batch_id)
+        self._check_merge_keys(m, keys)
+        self._merge_schema(m, delta)
+        delta = self._conform(delta, m)
+        schema = m["schema"]
+        val_cols = [n for n, _ in schema if n not in keys]
+        if liveness_col not in val_cols:
+            raise ValueError(f"liveness_col {liveness_col!r} not a value column")
+
+        bucket_col = self._bucket_expr(keys, m)
+        touched = sorted(
+            r["__b"]
+            for r in delta.select(bucket_col.alias("__b")).distinct().collect()
+        )
+        touched_set = {str(b) for b in touched}
+        target_files = [
+            os.path.join(self.root, "data", p)
+            for b, paths in m["files"].items()
+            if b in touched_set
+            for p in paths
+        ]
+        if target_files:
+            ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+            unioned = (
+                self.spark.read.schema(ddl)
+                .parquet(*target_files)
+                .unionByName(delta)
+            )
+        else:
+            unioned = delta
+        types = dict(schema)
+        pre_part = m.get("bucket_fn", "xxhash64") == "murmur3"
+        if pre_part:
+            unioned = unioned.repartition(
+                m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+            )
+        combined = (
+            unioned.groupBy(*[F.col(k) for k in keys])
+            .agg(
+                *[
+                    F.sum(F.col(c)).cast(types[c]).alias(c)
+                    for c in val_cols
+                ]
+            )
+            .filter(F.col(liveness_col) > 0)
+            .select(*[n for n, _ in schema])
+        )
+        new_files = self._write_bucket_files(combined, keys, m, pre_partitioned=pre_part)
+        stray = set(new_files.keys()) - touched_set
+        if stray:
+            raise ValueError(
+                f"merge_additive: delta rows landed in buckets {sorted(stray)} "
+                f"outside the touched set {sorted(touched_set)}; refusing to "
+                "overwrite unread target buckets"
+            )
+        files = {b: p for b, p in m["files"].items() if b not in touched_set}
+        files.update(new_files)
+        m["files"] = files
+        m["keys"] = keys
+        if batch_id is not None:
+            m["batch_ids"].append(batch_id)
+        return self._commit(m)
+
     def append(self, df: DataFrame, batch_id: str | None = None) -> int:
         """Append-only commit (no key semantics): one new file added to
         bucket '0'. Used for lineage/metrics tables."""

@@ -2271,3 +2271,70 @@ def range_join_events(spark, sf):
     return point_in_interval_join(
         e, r, ["user_id"], "ts", "lo", "hi", bin_width=7 * 86400.0
     )
+
+
+# =============================================================================
+# Incremental view maintenance (lake/ivm.py + LakeTable.merge_additive)
+# =============================================================================
+
+_IVM_ORACLE = """
+    with v1 as (
+      select o_orderkey, o_custkey, o_totalprice
+      from orders where o_orderkey % 3 <> 0),
+    b as (
+      select o_orderkey, o_custkey, o_totalprice + 1 as o_totalprice,
+             (o_orderkey % 7 = 0) as is_del
+      from orders where o_orderkey % 5 = 0),
+    final as (
+      select v1.o_orderkey, v1.o_custkey, v1.o_totalprice
+      from v1 left join b using (o_orderkey) where b.o_orderkey is null
+      union all
+      select o_orderkey, o_custkey, o_totalprice from b where not is_del)
+    select o_custkey,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)
+             as sum_cents
+    from final group by o_custkey
+"""
+
+
+@extra_query("ivm_rollup_orders", _IVM_ORACLE)
+def ivm_rollup_orders(spark, sf):
+    """Incremental view maintenance: a per-customer rollup maintained
+    from the source table's CDC changelog — refreshed after EACH of two
+    merge commits (initial load, then an update/delete/insert batch),
+    O(|changes|) per refresh, the source never rescanned. The oracle
+    recomputes the FINAL state from scratch in SQL; hash equality
+    proves the incremental path converges to the declarative answer
+    (bit-exact: counts + integer cent sums)."""
+    from dbt_customer360_spark.lake.ivm import AggSpec, IncrementalRollup
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="ivm_q_")
+    src = LakeTable(spark, f"{root}/src", buckets=8)
+    roll = LakeTable(spark, f"{root}/roll", buckets=8)
+    ivm = IncrementalRollup(
+        src,
+        roll,
+        ["o_custkey"],
+        [AggSpec("n_orders", "count"), AggSpec("sum_cents", "sum", "cents")],
+        cursor_path=f"{root}/cursor.json",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 3 != 0).select("o_orderkey", "o_custkey", "cents")
+    src.merge(v1, ["o_orderkey"], batch_id="v1")
+    ivm.refresh()
+    batch = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor((F.col("o_totalprice") + 1) * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_del"),
+    )
+    src.merge(batch, ["o_orderkey"], batch_id="v2", delete_col="is_del")
+    ivm.refresh()
+    return ivm.read()

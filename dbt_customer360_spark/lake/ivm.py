@@ -46,7 +46,11 @@ _LIVE = "__live_rows"
 
 @dataclass(frozen=True)
 class AggSpec:
-    """One maintained aggregate: ``kind`` in count|count_col|sum."""
+    """One maintained aggregate: ``kind`` in count|count_col|sum.
+    ``col`` may be any deterministic SQL expression over the source
+    columns (e.g. ``length(content)``) — it is evaluated on the
+    changelog rows, so pre/post images contribute the derived value
+    the stored row had."""
 
     out: str
     kind: str
@@ -71,7 +75,14 @@ class IncrementalRollup:
         group_by: list[str],
         aggs: list[AggSpec],
         cursor_path: str,
+        row_filter: str | None = None,
     ):
+        """``row_filter``: optional SQL predicate — the maintained view
+        is ``SELECT group_by, aggs FROM source WHERE row_filter GROUP
+        BY group_by``. Applied per change-row image, so an update
+        moving a row across the predicate boundary nets out as an
+        insert into / retraction from the view (how a merge-on-read
+        tombstone flip leaves the live-rows rollup)."""
         names = [a.out for a in aggs]
         if len(set(names)) != len(names) or _LIVE in names:
             raise ValueError(f"duplicate/reserved output names in {names}")
@@ -82,9 +93,12 @@ class IncrementalRollup:
         self.rollup = rollup
         self.group_by = group_by
         self.aggs = aggs
+        self.row_filter = row_filter
         self.reader = ChangelogReader(source, cursor_path)
 
     def _delta(self, changes: DataFrame) -> DataFrame:
+        if self.row_filter:
+            changes = changes.filter(F.expr(self.row_filter))
         w = (
             F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
             .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
@@ -96,10 +110,10 @@ class IncrementalRollup:
                 e = F.sum(F.col("__w")).cast("long")
             elif a.kind == "count_col":
                 e = F.sum(
-                    F.when(F.col(a.col).isNotNull(), F.col("__w")).otherwise(F.lit(0))
+                    F.when(F.expr(a.col).isNotNull(), F.col("__w")).otherwise(F.lit(0))
                 ).cast("long")
             else:
-                e = F.sum(F.col(a.col) * F.col("__w"))
+                e = F.sum(F.expr(a.col) * F.col("__w"))
             exprs.append(e.alias(a.out))
         return changes.withColumn("__w", w).groupBy(*self.group_by).agg(*exprs)
 

@@ -94,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
         help="cursor file for --emit-changes (created at first use; position "
         "0 emits the whole table as inserts = initial sync)",
     )
+    ap.add_argument(
+        "--rollup", metavar="ROOT", default=None,
+        help="maintain a per-repo rollup table at ROOT (n_paths, "
+        "total_content_chars) incrementally from the repos table's CDC "
+        "changelog after the replay — O(changes) per refresh, the repos "
+        "table is never rescanned (lake/ivm.py)",
+    )
+    ap.add_argument(
+        "--rollup-cursor", default=None,
+        help="changelog cursor file for --rollup (default ROOT/cursor.json)",
+    )
     args = ap.parse_args(argv)
 
     from dbt_customer360_spark.session import get_spark
@@ -181,17 +192,37 @@ def main(argv: list[str] | None = None) -> int:
         stats = replay_batch(applier, events, n_batches=args.batches)
         n = sum(s["rows_applied"] for s in stats)
     dt = time.time() - t0
-    print(
-        json.dumps(
-            {
-                "mode": args.mode,
-                "rows_applied": n,
-                "wall_sec": round(dt, 2),
-                "final_rows": applier.state().count(),
-                "snapshot_id": applier.table.current_snapshot_id(),
-            }
+    out = {
+        "mode": args.mode,
+        "rows_applied": n,
+        "wall_sec": round(dt, 2),
+        "final_rows": applier.state().count(),
+        "snapshot_id": applier.table.current_snapshot_id(),
+    }
+    if args.rollup:
+        from dbt_customer360_spark.lake.ivm import AggSpec, IncrementalRollup
+        from dbt_customer360_spark.lake.table import LakeTable
+
+        ivm = IncrementalRollup(
+            applier.table,
+            LakeTable(spark, args.rollup, buckets=min(args.buckets, 16)),
+            ["repo"],
+            [
+                AggSpec("n_paths", "count"),
+                AggSpec("total_content_chars", "sum", "coalesce(length(content), 0)"),
+            ],
+            cursor_path=args.rollup_cursor or os.path.join(args.rollup, "cursor.json"),
+            # merge-on-read tombstones are stored rows; the rollup
+            # tracks the LIVE view, so a tombstone flip retracts
+            row_filter="not coalesce(__deleted, false)",
         )
-    )
+        rsid = ivm.refresh()
+        out["rollup"] = {
+            "snapshot_id": rsid,
+            "caught_up": rsid is None,
+            "repos": ivm.read().count(),
+        }
+    print(json.dumps(out))
     return 0
 
 

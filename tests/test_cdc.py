@@ -433,3 +433,58 @@ def test_job_cli_emit_changes_command(spark):
     r3 = run(["--table", f"{root}/repos", "--buckets", "4",
               "--emit-changes", f"{root}/out3", "--cursor", f"{root}/cursor.json"])
     assert r3["caught_up"] is True
+
+
+def test_job_cli_rollup_maintenance(spark):
+    """jobs/cdc_replay_job.py --rollup: the per-repo live-view rollup is
+    maintained incrementally from the repos table's changelog after the
+    replay, equals a from-scratch recompute over the live state
+    (tombstones excluded via row_filter), and a replayed run leaves it
+    caught up (exactly-once end to end)."""
+    import io
+    import json
+    import sys as _sys
+    from contextlib import redirect_stdout
+
+    if "/root/repo" not in _sys.path:
+        _sys.path.insert(0, "/root/repo")
+    from jobs.cdc_replay_job import main as job_main
+
+    root = tempfile.mkdtemp(prefix="cdc_ivm_")
+    argv = [
+        "--generate", "20000", "--table", f"{root}/repos", "--batches", "2",
+        "--buckets", "4", "--dense-batches", "--rollup", f"{root}/rollup",
+    ]
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert job_main(argv) == 0
+    rep = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert rep["rollup"]["snapshot_id"] is not None
+
+    from dbt_customer360_spark.lake.table import LakeTable
+    from dbt_customer360_spark.streaming.apply import CDCApplier
+
+    state = CDCApplier(spark, f"{root}/repos", None, buckets=4).state()
+    exp = {
+        (r.repo, r.n, r.c)
+        for r in state.groupBy("repo")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce(F.length("content"), F.lit(0))).cast("long").alias("c"),
+        )
+        .collect()
+    }
+    roll = LakeTable(spark, f"{root}/rollup", buckets=4)
+    got = {
+        (r.repo, r.n_paths, r.total_content_chars) for r in roll.read().collect()
+    }
+    assert got == exp and got
+    assert rep["rollup"]["repos"] == len(exp)
+
+    # replayed run: ledger no-ops the merges, changelog span is empty
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert job_main(argv) == 0
+    rep2 = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert rep2["rollup"]["caught_up"] is True
+    assert rep2["rollup"]["repos"] == len(exp)

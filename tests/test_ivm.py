@@ -166,3 +166,50 @@ def test_refresh_from_empty_cursor_is_initial_sync(spark, tmp_path):
         )
     ivm.refresh()  # one refresh folds the whole history
     _assert_synced(ivm, src)
+
+
+def test_row_filter_maintains_selected_view_only(spark, tmp_path):
+    """row_filter = the view's WHERE clause: rows crossing the
+    predicate boundary (merge-on-read tombstone flips) retract from /
+    re-enter the rollup, while matching-state updates stay additive."""
+    src = LakeTable(spark, str(tmp_path / "src"), buckets=4)
+    roll = LakeTable(spark, str(tmp_path / "roll"), buckets=4)
+    ivm = IncrementalRollup(
+        src,
+        roll,
+        ["g"],
+        [AggSpec("n", "count"), AggSpec("s", "sum", "v")],
+        cursor_path=str(tmp_path / "cur.json"),
+        row_filter="not coalesce(dead, false)",
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, "a", 10, False), (2, "a", 20, False), (3, "b", 5, False)],
+            "id long, g string, v long, dead boolean",
+        ),
+        ["id"],
+        batch_id="b0",
+    )
+    ivm.refresh()
+    assert {r.g: (r.n, r.s) for r in ivm.read().collect()} == {"a": (2, 30), "b": (1, 5)}
+    # tombstone-flip id=2 (leaves view), real update id=1, resurrect nothing
+    src.merge(
+        spark.createDataFrame(
+            [(1, "a", 11, False), (2, "a", 20, True)],
+            "id long, g string, v long, dead boolean",
+        ),
+        ["id"],
+        batch_id="b1",
+    )
+    ivm.refresh()
+    assert {r.g: (r.n, r.s) for r in ivm.read().collect()} == {"a": (1, 11), "b": (1, 5)}
+    # flip back: re-enters the view
+    src.merge(
+        spark.createDataFrame(
+            [(2, "a", 99, False)], "id long, g string, v long, dead boolean"
+        ),
+        ["id"],
+        batch_id="b2",
+    )
+    ivm.refresh()
+    assert {r.g: (r.n, r.s) for r in ivm.read().collect()} == {"a": (2, 110), "b": (1, 5)}

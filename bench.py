@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "repetition_quality_docs",
     "minhash_canonical_docs",
     "bm25_scores_docs",
+    "asof_join_events",
+    "range_join_events",
+    "ivm_rollup_orders",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))

@@ -478,6 +478,12 @@ class LakeTable:
         sort_by = manifest.get("sort_order") or []
         if sort_by:
             df = df.sortWithinPartitions("__bucket", *sort_by)
+        elif manifest.get("zorder"):
+            df = (
+                df.withColumn("__zv", self._zorder_expr(manifest))
+                .sortWithinPartitions("__bucket", "__zv")
+                .drop("__zv")
+            )
         writer = df.write.partitionBy("__bucket").mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -497,6 +503,70 @@ class LakeTable:
                 else:
                     files[b] = [f"{out_rel}/{entry}"]
         return files
+
+    @staticmethod
+    def _znum(col: str, typ: str) -> F.Column:
+        # boundary/rank space is epoch-seconds double for timestamps,
+        # plain double otherwise (exact for the long/int/double cols
+        # z-ordering supports)
+        c = F.col(col)
+        if "timestamp" in typ:
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    def _estimate_zorder(
+        self, df: DataFrame, cols: list[str], bits: int, manifest: dict
+    ) -> dict:
+        """Quantile boundaries per z-column, estimated from the current
+        table contents (one approxQuantile pass) and persisted so later
+        merges rank against the SAME space."""
+        types = dict(manifest["schema"])
+        bad = [c for c in cols if c not in types]
+        if bad:
+            raise ValueError(f"zorder_by columns not in table schema: {bad}")
+        nonnum = [
+            c
+            for c in cols
+            if not (
+                "timestamp" in types[c]
+                or any(t in types[c] for t in ("int", "long", "float", "double", "decimal", "short", "byte"))
+            )
+        ]
+        if nonnum:
+            raise ValueError(
+                f"zorder_by supports numeric/timestamp columns only, got: "
+                f"{[(c, types[c]) for c in nonnum]}"
+            )
+        if not 1 <= bits <= 8 or bits * len(cols) > 63:
+            raise ValueError(f"zorder bits={bits} x {len(cols)} cols out of range")
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        proj = df.select(
+            *[self._znum(c, types[c]).alias(f"__zq_{i}") for i, c in enumerate(cols)]
+        )
+        qs = proj.approxQuantile(
+            [f"__zq_{i}" for i in range(len(cols))], probs, 0.001
+        )
+        return {"cols": cols, "bits": bits, "boundaries": qs}
+
+    def _zorder_expr(self, manifest: dict) -> F.Column:
+        """Morton key from the persisted quantile boundaries: rank each
+        column (monotone sum of `value > boundary` flags — a flat
+        comparison chain, codegen-friendly), then interleave rank bits.
+        NULLs rank 0 (cluster together at the low end)."""
+        z = manifest["zorder"]
+        types = dict(manifest["schema"])
+        cols, bits = z["cols"], z["bits"]
+        key = F.lit(0).cast("long")
+        for j, (c, bounds) in enumerate(zip(cols, z["boundaries"])):
+            v = self._znum(c, types[c])
+            rank = F.lit(0)
+            for b in bounds:
+                rank = rank + F.when(v > F.lit(b), 1).otherwise(0)
+            rank = rank.cast("long")
+            for i in range(bits):
+                bit = F.shiftright(rank, i).bitwiseAND(F.lit(1).cast("long"))
+                key = key + F.shiftleft(bit, i * len(cols) + j)
+        return key
 
     def _merge_schema(self, manifest: dict, df: DataFrame) -> list[str]:
         known = {n for n, _ in manifest["schema"]}
@@ -837,6 +907,8 @@ class LakeTable:
         drop_tombstones_col: str | None = None,
         sort_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 4,
     ) -> int:
         """Rewrite the table into fresh bucket files: merges the small
         files accumulated by appends/merges and optionally drops
@@ -853,22 +925,52 @@ class LakeTable:
         entries, so :meth:`read_where` prunes at split grain — a point
         or range lookup on the sort column opens ~one part per bucket
         instead of the whole bucket. Pass ``sort_by=[]`` to drop a
-        previously persisted order."""
+        previously persisted order.
+
+        ``zorder_by`` persists MULTI-column clustering instead
+        (Iceberg/Delta Z-ORDER analogue): each column is quantile-
+        bucketed into ``2**zorder_bits`` ranks (boundaries estimated
+        once here, stored in the manifest) and the rank bits are
+        interleaved into one Morton key the within-bucket sort runs
+        on — so part files stay simultaneously tight on EVERY listed
+        column and :meth:`read_where` prunes on any of them, where a
+        lexicographic ``sort_by`` only ever helps its prefix. Numeric/
+        timestamp columns only; quantile (not min/max) ranks keep
+        skewed distributions from collapsing into one bucket. Later
+        merges recompute the Morton key from the STORED boundaries —
+        cheap, shuffle-free, and consistent until the next compact
+        re-estimates. Mutually exclusive with ``sort_by``;
+        ``zorder_by=[]`` clears it."""
         m = self._read_manifest()
         explicit = keys is not None
         keys = keys or m.get("keys") or [m["schema"][0][0]]
+        if sort_by is not None and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         if sort_by is not None:
             known = {n for n, _ in m["schema"]}
             bad = [c for c in sort_by if c not in known]
             if bad:
                 raise ValueError(f"sort_by columns not in table schema: {bad}")
             m["sort_order"] = sort_by
+            if sort_by:
+                m["zorder"] = None
             # a sort order without footer stats on its columns can't feed
             # the manifest prune — record them from this commit onward
             missing_stats = [c for c in sort_by if c not in (m.get("stats_cols") or [])]
             if missing_stats:
                 m["stats_cols"] = (m.get("stats_cols") or []) + missing_stats
         df = self.read()
+        if zorder_by is not None:
+            if not zorder_by:
+                m["zorder"] = None
+            else:
+                m["zorder"] = self._estimate_zorder(df, zorder_by, zorder_bits, m)
+                m["sort_order"] = []
+                missing_stats = [
+                    c for c in zorder_by if c not in (m.get("stats_cols") or [])
+                ]
+                if missing_stats:
+                    m["stats_cols"] = (m.get("stats_cols") or []) + missing_stats
         if drop_tombstones_col and drop_tombstones_col in df.columns:
             df = df.filter(~F.coalesce(F.col(drop_tombstones_col), F.lit(False)))
         m["files"] = self._write_bucket_files(
@@ -1044,6 +1146,7 @@ class LakeTable:
             "keys": m.get("keys"),
             "stats_cols": m.get("stats_cols"),
             "sort_order": m.get("sort_order"),
+            "zorder": (m.get("zorder") or {}).get("cols"),
         }
         if count_tombstones_col and any(
             n == count_tombstones_col for n, _ in m["schema"]

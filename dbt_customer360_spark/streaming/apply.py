@@ -50,6 +50,8 @@ class CDCApplier:
         lineage_grain: str = "epoch",
         partition_col: str = "source_connector",
         quarantine_root: str | None = None,
+        rollup=None,
+        rollup_every: int = 1,
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -110,6 +112,14 @@ class CDCApplier:
         self.max_files_per_bucket = max_files_per_bucket
         self.keep_snapshots = keep_snapshots
         self._applied_since_maintenance = 0
+        # streaming IVM (lake/ivm.py IncrementalRollup): refresh the
+        # downstream rollup every N applied epochs, BEFORE the
+        # maintenance tick — so the changelog cursor never falls
+        # behind snapshot expiry and spans never cross a compaction
+        # (which would degrade the diff to a full-table scan)
+        self.rollup = rollup
+        self.rollup_every = rollup_every
+        self._applied_since_rollup = 0
 
     def maybe_maintain(self) -> bool:
         """Cost-gated compaction + snapshot expiry on repos (and
@@ -322,6 +332,10 @@ class CDCApplier:
             )
             self.lineage.append(row, batch_id=f"lineage-{batch_id}")
         self._applied_since_maintenance += 1
+        self._applied_since_rollup += 1
+        if self.rollup is not None and self._applied_since_rollup >= self.rollup_every:
+            self.rollup.refresh()
+            self._applied_since_rollup = 0
         if (
             self.maintenance_every
             and self._applied_since_maintenance >= self.maintenance_every

@@ -172,6 +172,27 @@ def main(argv: list[str] | None = None) -> int:
         lineage_grain=args.lineage_grain,
         quarantine_root=args.quarantine,
     )
+    ivm = None
+    if args.rollup:
+        from dbt_customer360_spark.lake.ivm import AggSpec, IncrementalRollup
+        from dbt_customer360_spark.lake.table import LakeTable
+
+        ivm = IncrementalRollup(
+            applier.table,
+            LakeTable(spark, args.rollup, buckets=min(args.buckets, 16)),
+            ["repo"],
+            [
+                AggSpec("n_paths", "count"),
+                AggSpec("total_content_chars", "sum", "coalesce(length(content), 0)"),
+            ],
+            cursor_path=args.rollup_cursor or os.path.join(args.rollup, "cursor.json"),
+            # merge-on-read tombstones are stored rows; the rollup
+            # tracks the LIVE view, so a tombstone flip retracts
+            row_filter="not coalesce(__deleted, false)",
+        )
+        # per-epoch freshness in BOTH modes: the applier refreshes the
+        # rollup after each applied batch, before its maintenance tick
+        applier.rollup = ivm
 
     t0 = time.time()
     if args.mode == "stream":
@@ -199,23 +220,8 @@ def main(argv: list[str] | None = None) -> int:
         "final_rows": applier.state().count(),
         "snapshot_id": applier.table.current_snapshot_id(),
     }
-    if args.rollup:
-        from dbt_customer360_spark.lake.ivm import AggSpec, IncrementalRollup
-        from dbt_customer360_spark.lake.table import LakeTable
-
-        ivm = IncrementalRollup(
-            applier.table,
-            LakeTable(spark, args.rollup, buckets=min(args.buckets, 16)),
-            ["repo"],
-            [
-                AggSpec("n_paths", "count"),
-                AggSpec("total_content_chars", "sum", "coalesce(length(content), 0)"),
-            ],
-            cursor_path=args.rollup_cursor or os.path.join(args.rollup, "cursor.json"),
-            # merge-on-read tombstones are stored rows; the rollup
-            # tracks the LIVE view, so a tombstone flip retracts
-            row_filter="not coalesce(__deleted, false)",
-        )
+    if ivm is not None:
+        # catch-up refresh (no-op when the per-epoch hook kept pace)
         rsid = ivm.refresh()
         out["rollup"] = {
             "snapshot_id": rsid,

@@ -213,3 +213,35 @@ def test_row_filter_maintains_selected_view_only(spark, tmp_path):
     )
     ivm.refresh()
     assert {r.g: (r.n, r.s) for r in ivm.read().collect()} == {"a": (2, 110), "b": (1, 5)}
+
+
+def test_applier_refreshes_rollup_per_epoch(spark, tmp_path):
+    """CDCApplier(rollup=...): the downstream rollup is refreshed after
+    every applied micro-batch (before the maintenance tick), so each
+    epoch leaves it consistent with the live table state — streaming
+    IVM, not an end-of-run recompute."""
+    from dbt_customer360_spark.sources.cdc import generate_change_events
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    applier = CDCApplier(spark, str(tmp_path / "repos"), buckets=4,
+                         assume_dense_batches=True)
+    roll = LakeTable(spark, str(tmp_path / "roll"), buckets=4)
+    applier.rollup = IncrementalRollup(
+        applier.table,
+        roll,
+        ["repo"],
+        [AggSpec("n_paths", "count")],
+        cursor_path=str(tmp_path / "cur.json"),
+        row_filter="not coalesce(__deleted, false)",
+    )
+    events = generate_change_events(spark, n_events=4000, n_repos=6,
+                                    paths_per_repo=20)
+    replay_batch(applier, events, n_batches=3)
+    # one rollup commit per epoch (3), cursor caught up
+    assert roll.current_snapshot_id() == 3
+    assert applier.rollup.refresh() is None
+    exp = {
+        (r.repo, r.n) for r in applier.state().groupBy("repo")
+        .agg(F.count("*").cast("long").alias("n")).collect()
+    }
+    assert {(r.repo, r.n_paths) for r in applier.rollup.read().collect()} == exp

@@ -1,3 +1,4 @@
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
@@ -819,3 +820,76 @@ def test_maybe_compact_ignores_intentional_split_parts(spark):
     assert max(len(p) for p in m["files"].values()) > 4  # really split
     assert t.maybe_compact(max_files_per_bucket=4) is None  # not debt
     assert t._read_manifest()["snapshot_id"] == sid  # no rewrite happened
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark):
+    """compact(zorder_by=[a, b]) — Morton clustering: split part files
+    stay tight on BOTH columns simultaneously, so read_where prunes on
+    either one (a lexicographic sort only helps its prefix); later
+    merges keep clustering against the persisted quantile boundaries."""
+    t = _table(spark, buckets=2)
+    # x and y independent -> a plain sort on x leaves y spread full-range
+    rows = [
+        (f"r{i}", "p", (i * 37) % 200, ((i * 101) + 7) % 200, 1000 + i)
+        for i in range(400)
+    ]
+    t.merge_lsn(
+        spark.createDataFrame(
+            rows, "repo string, path string, x long, y long, __max_lsn long"
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    t.compact(zorder_by=["x", "y"], max_records_per_file=25)
+    m = t._read_manifest()
+    assert m["zorder"]["cols"] == ["x", "y"] and m["sort_order"] == []
+    assert set(m["zorder"]["cols"]) <= set(m["stats_cols"])
+    n_parts = sum(len(ps) for ps in m["files"].values())
+    assert n_parts >= 8
+
+    def opened(pred):
+        q = t.read_where(pred)
+        return len(q.inputFiles()), {r.repo for r in q.collect()}
+
+    exp_x = {f"r{i}" for i in range(400) if 0 <= (i * 37) % 200 <= 20}
+    nx, got_x = opened({"x": (0, 20)})
+    assert got_x == exp_x
+    assert nx < n_parts / 2, (nx, n_parts)  # pruned on x...
+    exp_y = {f"r{i}" for i in range(400) if 0 <= ((i * 101) + 7) % 200 <= 20}
+    ny, got_y = opened({"y": (0, 20)})
+    assert got_y == exp_y
+    assert ny < n_parts / 2, (ny, n_parts)  # ...AND on y (sort_by can't)
+
+    # a later merge recomputes the Morton key from stored boundaries:
+    # rows still intact, zorder persisted
+    t.merge_lsn(
+        spark.createDataFrame(
+            [("zz", "q", 5, 5, 9000)],
+            "repo string, path string, x long, y long, __max_lsn long",
+        ),
+        ["repo", "path"],
+        batch_id="b1",
+    )
+    assert t._read_manifest()["zorder"]["cols"] == ["x", "y"]
+    assert t.read().count() == 401
+    assert t.ops_report()["zorder"] == ["x", "y"]
+    # clearing
+    t.compact(zorder_by=[])
+    assert t._read_manifest()["zorder"] is None
+
+
+def test_zorder_refuses_strings_and_sortby_conflict(spark):
+    t = _table(spark, buckets=2)
+    t.merge_lsn(
+        spark.createDataFrame(
+            [("r", "p", 1, 1)], "repo string, path string, x long, __max_lsn long"
+        ),
+        ["repo", "path"],
+        batch_id="b0",
+    )
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        t.compact(zorder_by=["repo"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(sort_by=["x"], zorder_by=["x"])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.compact(zorder_by=["nope"])

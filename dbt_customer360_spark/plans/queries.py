@@ -2338,3 +2338,95 @@ def ivm_rollup_orders(spark, sf):
     src.merge(batch, ["o_orderkey"], batch_id="v2", delete_col="is_del")
     ivm.refresh()
     return ivm.read()
+
+
+_OVERLAP_ORACLE = """
+    with iv as (
+      select o_custkey as user_id, o_orderkey,
+             o_orderdate + interval 23 years as lo,
+             o_orderdate + interval 23 years
+               + (1 + o_orderkey % 14) * interval 1 day as hi
+      from orders)
+    select a.user_id, a.o_orderkey as a_orderkey, b.o_orderkey as b_orderkey,
+           a.lo as a_lo, a.hi as a_hi, b.lo as b_lo, b.hi as b_hi
+    from iv a join iv b
+      on a.user_id = b.user_id and a.o_orderkey < b.o_orderkey
+     and a.lo <= b.hi and b.lo <= a.hi
+"""
+
+
+@extra_query("overlap_join_orders", _OVERLAP_ORACLE)
+def overlap_join_orders(spark, sf):
+    """Interval-overlap self-join: pairs of a customer's order activity
+    windows that overlap in time (a < b dedup halves the symmetric
+    pairs). Bin-blocked exactly-once pairing — each pair survives only
+    in the first bin both intervals share, so wide windows never
+    duplicate (operators/rangejoin.py); the oracle is the quadratic
+    theta join."""
+    from dbt_customer360_spark.operators.rangejoin import interval_overlap_join
+
+    iv = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.expr("o_orderdate + interval 23 years").alias("lo"),
+        F.expr(
+            "o_orderdate + interval 23 years"
+            " + make_dt_interval(cast(1 + o_orderkey % 14 as int), 0, 0, 0)"
+        ).alias("hi"),
+    )
+    a = iv.select(
+        "user_id",
+        F.col("o_orderkey").alias("a_orderkey"),
+        F.col("lo").alias("a_lo"),
+        F.col("hi").alias("a_hi"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    return interval_overlap_join(
+        a, b, ["user_id"], "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7 * 86400.0
+    ).filter(F.col("a_orderkey") < F.col("b_orderkey"))
+
+
+_SCD2_ORACLE = """
+    with ordered as (
+      select user_id, ts, event_id, event_type, value,
+             row_number() over w as rn,
+             lag(event_type) over w as p_t,
+             lag(value) over w as p_v
+      from events
+      window w as (partition by user_id order by ts, event_id)),
+    chg as (
+      select user_id, ts, event_id, event_type, value
+      from ordered
+      where rn = 1 or event_type is distinct from p_t
+            or value is distinct from p_v),
+    iv as (
+      select user_id, event_type, value, ts as valid_from,
+             lead(ts) over (partition by user_id order by ts, event_id)
+               as valid_to
+      from chg)
+    select user_id, event_type, value, valid_from, valid_to,
+           valid_to is null as is_current
+    from iv
+"""
+
+
+@extra_query("scd2_history_events", _SCD2_ORACLE)
+def scd2_history_events(spark, sf):
+    """SCD2 version history of each user's (event_type, value) state:
+    consecutive no-op events open no interval, every surviving version
+    carries [valid_from, valid_to) + is_current — the audit surface
+    the reference's latest-state-only incremental models can't answer.
+    One hash exchange, two windows, no joins (plan-pinned in
+    tests/test_scd2.py); the oracle is the equivalent
+    lag-filter + lead SQL."""
+    from dbt_customer360_spark.operators.scd2 import scd2_history
+
+    e = _t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    return scd2_history(
+        e, ["user_id"], "ts", ["event_type", "value"], tiebreak="event_id"
+    )

@@ -34,6 +34,9 @@ AUDIT = [
     "bm25_scores_docs",
     "minhash_canonical_docs",
     "lake_changelog",
+    "asof_join_events",
+    "range_join_events",
+    "ivm_rollup_orders",
 ]
 
 RED_FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct"]

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "asof_join_events",
     "range_join_events",
     "ivm_rollup_orders",
+    "scd2_history_events",
+    "moving_window_events",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))

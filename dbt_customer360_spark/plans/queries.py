@@ -2430,3 +2430,110 @@ def scd2_history_events(spark, sf):
     return scd2_history(
         e, ["user_id"], "ts", ["event_type", "value"], tiebreak="event_id"
     )
+
+
+# =============================================================================
+# Relational surface: pivot, grouping sets, range-frame windows
+# =============================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = """
+    select user_id,
+           cast(count(*) filter (where event_type = 'click') as bigint) as n_click,
+           cast(count(*) filter (where event_type = 'error') as bigint) as n_error,
+           cast(count(*) filter (where event_type = 'purchase') as bigint) as n_purchase,
+           cast(count(*) filter (where event_type = 'signup') as bigint) as n_signup,
+           cast(count(*) filter (where event_type = 'view') as bigint) as n_view
+    from events group by user_id
+"""
+
+
+@extra_query("pivot_event_types", _PIVOT_ORACLE)
+def pivot_event_types(spark, sf):
+    """PIVOT: per-user event-type count matrix over an explicit value
+    list (explicit so the plan is ONE pass — Spark's value-discovery
+    pivot runs a distinct scan first and breaks plan determinism).
+    Absent combinations coalesce to 0 like the oracle's FILTER
+    aggregates."""
+    e = _t(spark, sf, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_ROLLUP_SETS_ORACLE = """
+    select o_orderstatus, o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)
+             as sum_cents,
+           cast(grouping(o_orderstatus, o_orderpriority) as bigint) as gid
+    from orders
+    group by rollup (o_orderstatus, o_orderpriority)
+"""
+
+
+@extra_query("rollup_grouping_sets_orders", _ROLLUP_SETS_ORACLE)
+def rollup_grouping_sets_orders(spark, sf):
+    """GROUP BY ROLLUP: status x priority totals plus per-status and
+    grand-total superaggregate rows in one pass (partial aggregation
+    still applies — no N-scan union), grouping_id disambiguating real
+    NULL keys from rollup NULLs."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_MOVING_WINDOW_ORACLE = """
+    select user_id, event_id, ts,
+           cast(sum(cast(floor(value * 100) as bigint)) over w as bigint)
+             as sum_cents_7d,
+           cast(count(*) over w as bigint) as n_7d
+    from events
+    window w as (partition by user_id order by epoch(ts)
+                 range between 604800 preceding and current row)
+"""
+
+
+@extra_query("moving_window_events", _MOVING_WINDOW_ORACLE)
+def moving_window_events(spark, sf):
+    """Range-frame moving aggregate: each event's trailing-7-day spend
+    and event count per user — a VALUE-bounded frame (peers at the
+    boundary included), not a row count. Integer cent sums keep the
+    sliding accumulation order-free across engines (DuckDB's segment
+    tree vs Spark's running frame would drift on doubles)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("double"))
+        .rangeBetween(-604800, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("sum_cents_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )

@@ -2537,3 +2537,59 @@ def moving_window_events(spark, sf):
         .alias("sum_cents_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
     )
+
+
+_UNPIVOT_ORACLE = """
+    select l_orderkey, l_linenumber, 'quantity' as metric, l_quantity as value
+    from lineitem
+    union all
+    select l_orderkey, l_linenumber, 'extendedprice', l_extendedprice from lineitem
+    union all
+    select l_orderkey, l_linenumber, 'discount', l_discount from lineitem
+    union all
+    select l_orderkey, l_linenumber, 'tax', l_tax from lineitem
+"""
+
+
+@extra_query("unpivot_lineitem_metrics", _UNPIVOT_ORACLE)
+def unpivot_lineitem_metrics(spark, sf):
+    """UNPIVOT (melt): wide metric columns to (metric, value) rows via
+    native unpivot — ONE scan fanning out in the project (no N-scan
+    union like the oracle's rendering), values pass through bit-exact."""
+    li = _t(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+_SETOPS_ORACLE = """
+    with recent as (select distinct o_custkey from orders
+                    where o_orderdate >= timestamp '1998-01-01'),
+    old as (select distinct o_custkey from orders
+            where o_orderdate < timestamp '1996-01-01'),
+    lapsed as (select o_custkey from old except select o_custkey from recent),
+    loyal as (select o_custkey from old intersect select o_custkey from recent)
+    select o_custkey, 'lapsed' as cohort from lapsed
+    union all
+    select o_custkey, 'loyal' from loyal
+"""
+
+
+@extra_query("setops_customer_cohorts", _SETOPS_ORACLE)
+def setops_customer_cohorts(spark, sf):
+    """EXCEPT / INTERSECT set operations: early-era customers split
+    into lapsed (no recent orders) vs loyal (both eras). Spark plans
+    both as null-safe distinct joins — no driver-side sets."""
+    o = _t(spark, sf, "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    old = o.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    lapsed = old.exceptAll(recent).withColumn("cohort", F.lit("lapsed"))
+    loyal = old.intersect(recent).withColumn("cohort", F.lit("loyal"))
+    return lapsed.unionByName(loyal)

@@ -2593,3 +2593,83 @@ def setops_customer_cohorts(spark, sf):
     lapsed = old.exceptAll(recent).withColumn("cohort", F.lit("lapsed"))
     loyal = old.intersect(recent).withColumn("cohort", F.lit("loyal"))
     return lapsed.unionByName(loyal)
+
+
+# =============================================================================
+# Sampling + sketch operators (operators/sketches.py)
+# =============================================================================
+
+from dbt_customer360_spark.operators import sketches  # noqa: E402
+
+_HASH_SPLIT_ORACLE = """
+    select doc_id, lang,
+           case when b < 98 then 'train'
+                when b < 99 then 'val'
+                else 'test' end as split
+    from (select doc_id, lang,
+                 ('0x' || substr(md5('split42:' || cast(doc_id as varchar)), 1, 15))
+                   ::ubigint % 100 as b
+          from documents)
+"""
+
+
+@extra_query("hash_split_docs", _HASH_SPLIT_ORACLE)
+def hash_split_docs(spark, sf):
+    """Deterministic 98/1/1 train/val/test split by md5 of doc_id —
+    membership is a pure function of the id (no leakage across runs)
+    and the plan is a single projection with ZERO exchanges
+    (tests/test_sketches.py pins the no-Exchange plan)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return sketches.hash_split(docs, "doc_id")
+
+
+@extra_query(
+    "distinct_sketch_events",
+    sketches.distinct_sketch_sql("events", "user_id", ["event_type"]),
+)
+def distinct_sketch_events(spark, sf):
+    """Theta-style distinct-user estimate per event_type from a 1/8
+    uniform hash sample, with the exact count alongside for audit —
+    at 100 TB only the sampled distinct keys ever shuffle."""
+    ev = _t(spark, sf, "events")
+    return sketches.distinct_sketch(ev, "user_id", ["event_type"], sample_mod=8)
+
+
+_CMS_ORACLE = f"""
+    with toks as ({_DUCK_TOKS}),
+    tok as (select unnest(ws) as token from toks),
+    exact as (select token, cast(count(*) as bigint) as n_exact
+              from tok group by token),
+    top as (select token, n_exact from exact
+            order by n_exact desc, token limit 20),
+    occ as (select token, r.i as row_id from tok cross join range(3) r(i)),
+    sketch as (select row_id,
+                      ('0x' || substr(md5('cms' || cast(row_id as varchar)
+                                          || ':' || token), 1, 15))
+                        ::ubigint % 1024 as bucket,
+                      cast(count(*) as bigint) as cnt
+               from occ group by 1, 2),
+    probes as (select token, n_exact, r.i as row_id,
+                      ('0x' || substr(md5('cms' || cast(r.i as varchar)
+                                          || ':' || token), 1, 15))
+                        ::ubigint % 1024 as bucket
+               from top cross join range(3) r(i))
+    select p.token, max(p.n_exact) as n_exact, min(s.cnt) as n_cms
+    from probes p join sketch s using (row_id, bucket)
+    group by p.token
+"""
+
+
+@extra_query("cms_heavy_tokens", _CMS_ORACLE)
+def cms_heavy_tokens(spark, sf):
+    """Count-min sketch (d=3, w=1024) heavy-hitter estimates for the
+    corpus's top-20 tokens — the sketch group-by is bounded at d*w rows
+    with map-side combine regardless of corpus size, and the probe join
+    broadcasts the sketch (plan pinned)."""
+    toks = sketches.tokens(_t(spark, sf, "documents"))
+    return cms_probe_named(toks)
+
+
+def cms_probe_named(toks):
+    out = sketches.cms_probe(toks, top_k=20, depth=3, width=1024)
+    return out.select("token", "n_exact", "n_cms")

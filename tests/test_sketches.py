@@ -1,0 +1,105 @@
+"""Sampling + sketch operators (operators/sketches.py): determinism,
+CMS one-sided-error property, and the plan shapes that make them
+100 TB-safe (zero-exchange split projection, broadcast sketch probe)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.operators import sketches
+from dbt_customer360_spark.plans.queries import EXTRA_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_split_deterministic_and_total(spark):
+    docs = _docs(spark).select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in sketches.hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in sketches.hash_split(docs, "doc_id").collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    # 98/1/1: train dominates even at 50 docs
+    n = len(a)
+    assert sum(v == "train" for v in a.values()) > 0.8 * n
+
+
+def test_hash_split_membership_independent_of_other_rows(spark):
+    """Adding/removing other documents never moves a row between
+    splits — membership is a pure function of the id."""
+    docs = _docs(spark).select("doc_id")
+    full = {r["doc_id"]: r["split"] for r in sketches.hash_split(docs, "doc_id").collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in sketches.hash_split(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+        ).collect()
+    }
+    for k, v in half.items():
+        assert full[k] == v
+
+
+def test_hash_split_plan_has_no_exchange(spark):
+    plan = _plan(sketches.hash_split(_docs(spark).select("doc_id"), "doc_id"))
+    assert "Exchange" not in plan
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    docs = _docs(spark).select("doc_id")
+    with pytest.raises(ValueError):
+        sketches.hash_split(docs, "doc_id", splits=[("a", 60), ("b", 60)])
+    with pytest.raises(ValueError):
+        sketches.hash_split(docs, "doc_id", splits=[("a", 0)])
+
+
+def test_distinct_sketch_estimate_scales_sample(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sketches.distinct_sketch(ev, "user_id", ["event_type"], sample_mod=4)
+    for r in out.collect():
+        assert r["n_est"] % 4 == 0
+        assert r["n_exact"] > 0
+    # mod=1 samples everything: estimate must equal the exact count
+    exact = sketches.distinct_sketch(ev, "user_id", ["event_type"], sample_mod=1)
+    for r in exact.collect():
+        assert r["n_est"] == r["n_exact"]
+
+
+def test_cms_estimate_never_underestimates(spark):
+    toks = sketches.tokens(_docs(spark))
+    for r in sketches.cms_probe(toks, top_k=20).collect():
+        assert r["n_cms"] >= r["n_exact"], r
+
+
+def test_cms_tight_when_width_large(spark):
+    """With width >> vocabulary, no bucket collides and the sketch is
+    exact for every probe."""
+    toks = sketches.tokens(_docs(spark))
+    for r in sketches.cms_probe(toks, top_k=10, width=1 << 20).collect():
+        assert r["n_cms"] == r["n_exact"], r
+
+
+def test_cms_sketch_bounded_rows(spark):
+    toks = sketches.tokens(_docs(spark))
+    sk = sketches.cms_sketch(toks, depth=3, width=64)
+    assert sk.count() <= 3 * 64
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    plan = _plan(EXTRA_QUERIES["cms_heavy_tokens"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_partial_aggregation(spark):
+    """Map-side combine around the sketch exchange — the property that
+    bounds each partition's shuffle contribution at depth*width."""
+    toks = sketches.tokens(_docs(spark))
+    plan = _plan(sketches.cms_sketch(toks))
+    assert plan.count("HashAggregate") >= 2

@@ -158,6 +158,22 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
         return dt
 
+    def probe_mor() -> float:
+        # merge-on-read replay: every epoch appends bucket-aligned
+        # delta files (no target-bucket read OR rewrite — write cost
+        # O(batch)), then ONE compaction folds the deltas into the same
+        # final physical layout CoW would have produced. The fair
+        # comparison against probe_replay: both end base-only; MoR
+        # pays the fold once instead of a rewrite per epoch.
+        root = tempfile.mkdtemp(prefix="bench_cdc_mor_")
+        t0 = time.time()
+        applier = CDCApplier(spark, f"{root}/repos", buckets=32, write_mode="mor")
+        replay_batch(applier, events, n_batches=4)
+        applier.table.compact(["repo", "path"])
+        dt = time.time() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        return dt
+
     def probe_stateful() -> float:
         # custom stateful streaming operator: the applyInPandasWithState
         # per-key max-LSN high-watermark filter over the staged stream
@@ -189,8 +205,11 @@ def main() -> None:
         "lineage": probe_lineage,
         "stream": probe_stream,
         "stateful": probe_stateful,
+        "mor": probe_mor,
     }
-    sel = os.environ.get("SPARK_GRAFT_CDC_PROBES", "replay,lineage,stream,stateful")
+    sel = os.environ.get(
+        "SPARK_GRAFT_CDC_PROBES", "replay,lineage,stream,stateful,mor"
+    )
     sel = [p for p in sel.split(",") if p]
     best = {name: float("inf") for name in sel}
     for _ in range(reps):
@@ -201,6 +220,7 @@ def main() -> None:
         "lineage": "cdc_replay_lineage",
         "stream": "cdc_stream",
         "stateful": "cdc_stateful_filter",
+        "mor": "cdc_replay_mor",
     }
     for name in sel:
         results[out_key[name]] = round(best[name], 3)
@@ -208,6 +228,7 @@ def main() -> None:
     lin_sec = best.get("lineage", float("inf"))
     stream_sec = best.get("stream", float("inf"))
     state_sec = best.get("stateful", float("inf"))
+    mor_sec = best.get("mor", float("inf"))
     events_per_sec = CDC_EVENTS / cdc_sec
     lineage_events_per_sec = CDC_EVENTS / lin_sec
     stream_events_per_sec = CDC_EVENTS / stream_sec
@@ -227,6 +248,7 @@ def main() -> None:
                 "cdc_lineage_events_per_sec": round(lineage_events_per_sec, 1),
                 "cdc_stream_events_per_sec": round(stream_events_per_sec, 1),
                 "cdc_stateful_events_per_sec": round(stateful_events_per_sec, 1),
+                "cdc_mor_events_per_sec": round(CDC_EVENTS / mor_sec, 1),
                 "cpus": cpus,
                 "reps": reps,
             }

@@ -98,6 +98,12 @@ class LakeTable:
             return {
                 "snapshot_id": 0,
                 "files": {},          # bucket(str) -> [relative parquet paths]
+                # merge-on-read ledger: bucket(str) -> pending delta
+                # paths appended by merge_lsn(mor=True), folded into
+                # "files" by compact(); "lsn_col" names the ordering
+                # column the read-time LWW resolution uses
+                "delta_files": {},
+                "lsn_col": None,
                 "schema": [],          # ordered [(name, spark ddl type)]
                 "batch_ids": [],
                 "column_mapping": {},  # logical feed name -> physical name
@@ -264,14 +270,21 @@ class LakeTable:
                         break
                 if not skip:
                     keep.append(p)
-        schema_ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
-        if not keep:
-            df = local_df(self.spark, [], schema_ddl or "dummy string")
-        else:
-            df = self.spark.read.schema(schema_ddl).parquet(
-                *[os.path.join(self.root, "data", p) for p in keep]
+        delta_paths = [p for b in (m.get("delta_files") or {}).values() for p in b]
+        if delta_paths:
+            # merge-on-read pending deltas SUSPEND manifest pruning:
+            # range stats describe stored values, not resolution
+            # winners — a pruned base file could hide a row NEWER than
+            # a pending delta for the same key (CoW/MoR commits
+            # interleave), and dropping it would resurrect the stale
+            # delta. Read everything, resolve, then filter — exact,
+            # and compact() restores pruned scans.
+            keep = [p for paths in m["files"].values() for p in paths]
+            df = self._mor_resolve(
+                m, self._read_paths(m, keep), self._read_paths(m, delta_paths)
             )
-        df = df.select(*[n for n, _ in m["schema"]])
+        else:
+            df = self._read_paths(m, keep)
         for c, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -299,16 +312,61 @@ class LakeTable:
     def exists(self) -> bool:
         return self.current_snapshot_id() > 0
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        m = self._read_manifest(snapshot_id)
-        files = [os.path.join(self.root, "data", p) for b in m["files"].values() for p in b]
+    def _read_paths(self, m: dict, rel_paths: list[str]) -> DataFrame:
+        """Read a list of manifest-relative parquet paths under the
+        manifest schema (NULL-backfills columns added after a file was
+        written — no mergeSchema footer pass needed)."""
         schema_ddl = ", ".join(f"`{n}` {t}" for n, t in m["schema"])
-        if not files:
+        if not rel_paths:
             return local_df(self.spark, [], schema_ddl or "dummy string")
-        # reading with the manifest schema NULL-backfills columns added
-        # after a file was written (no mergeSchema footer pass needed)
-        df = self.spark.read.schema(schema_ddl).parquet(*files)
+        df = self.spark.read.schema(schema_ddl).parquet(
+            *[os.path.join(self.root, "data", p) for p in rel_paths]
+        )
         return df.select(*[n for n, _ in m["schema"]])
+
+    def _mor_resolve(
+        self,
+        m: dict,
+        base: DataFrame,
+        delta: DataFrame,
+        cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Merge-on-read resolution: one last-writer-wins aggregation
+        over base ∪ delta rows — the same ``max_by(row, (lsn,
+        is_base))`` comparator the copy-on-write merge uses, applied at
+        READ time instead of write time. Base wins LSN ties so a replay
+        that was also compacted stays byte-stable."""
+        keys = m.get("keys") or []
+        lsn_col = m.get("lsn_col") or "__max_lsn"
+        if not keys:
+            raise ValueError(
+                "merge-on-read resolution requires merge keys in the manifest"
+            )
+        cols = cols if cols is not None else [n for n, _ in m["schema"]]
+        unioned = base.withColumn("__is_base", F.lit(1)).unionByName(
+            delta.withColumn("__is_base", F.lit(0))
+        )
+        row = F.struct(*[F.col(c) for c in cols])
+        order = F.struct(F.col(lsn_col), F.col("__is_base"))
+        return (
+            unioned.groupBy(*[F.col(k) for k in keys])
+            .agg(F.max_by(row, order).alias("__w"))
+            .select("__w.*")
+        )
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Table state at a snapshot. On a merge-on-read table (pending
+        ``merge_lsn(mor=True)`` delta files) the scan resolves base +
+        deltas with one LWW aggregation — the Iceberg/Hudi MoR read
+        path; ``compact()`` folds the deltas away and returns reads to
+        zero-overhead base-only scans."""
+        m = self._read_manifest(snapshot_id)
+        base_paths = [p for b in m["files"].values() for p in b]
+        delta_paths = [p for b in (m.get("delta_files") or {}).values() for p in b]
+        base = self._read_paths(m, base_paths)
+        if not delta_paths:
+            return base
+        return self._mor_resolve(m, base, self._read_paths(m, delta_paths))
 
     def changelog(
         self,
@@ -362,28 +420,53 @@ class LakeTable:
             )
         cols = [n for n, _ in m_to["schema"]]
         ddl = ", ".join(f"`{n}` {t}" for n, t in m_to["schema"])
+        def _deltas(m: dict) -> dict:
+            return m.get("delta_files") or {}
+
         changed = sorted(
             b
-            for b in set(m_from["files"]) | set(m_to["files"])
+            for b in set(m_from["files"])
+            | set(m_to["files"])
+            | set(_deltas(m_from))
+            | set(_deltas(m_to))
             if m_from["files"].get(b) != m_to["files"].get(b)
+            or _deltas(m_from).get(b) != _deltas(m_to).get(b)
         )
+
         def side(m: dict) -> DataFrame:
-            files = [
-                os.path.join(self.root, "data", p)
-                for b in changed
-                for p in m["files"].get(b, [])
+            base_rel = [p for b in changed for p in m["files"].get(b, [])]
+            delta_rel = [p for b in changed for p in _deltas(m).get(b, [])]
+            missing = [
+                p
+                for p in base_rel + delta_rel
+                if not os.path.exists(os.path.join(self.root, "data", p))
             ]
-            missing = [f for f in files if not os.path.exists(f)]
             if missing:
                 raise ValueError(
                     f"changelog({m['snapshot_id']}): {len(missing)} data file(s) "
                     "expired (expire_snapshots); narrow the span or raise keep_last"
                 )
-            if not files:
-                return local_df(self.spark, [], ddl)
-            # the to-schema read NULL-backfills columns added inside the
-            # span, so both sides align without a footer merge pass
-            return self.spark.read.schema(ddl).parquet(*files).select(*cols)
+
+            def rd(rel: list[str]) -> DataFrame:
+                if not rel:
+                    return local_df(self.spark, [], ddl)
+                # the to-schema read NULL-backfills columns added inside
+                # the span, so both sides align without a footer merge
+                return (
+                    self.spark.read.schema(ddl)
+                    .parquet(*[os.path.join(self.root, "data", p) for p in rel])
+                    .select(*cols)
+                )
+
+            base = rd(base_rel)
+            if not delta_rel:
+                return base
+            # merge-on-read snapshot: a side's visible state is the LWW
+            # resolution of its base + pending deltas; buckets partition
+            # the key space, so resolving the changed-bucket subset is
+            # the same as resolving the whole table then filtering.
+            # cols override: both sides read under the TO-schema.
+            return self._mor_resolve(m, base, rd(delta_rel), cols=cols)
 
         old = side(m_from).select(
             *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(True).alias("__in_old")
@@ -582,6 +665,8 @@ class LakeTable:
         cols = self._merge_schema(m, df)
         df = self._conform(df, m)
         m["files"] = self._write_bucket_files(df.select(cols), keys, m)
+        m["delta_files"] = {}
+        m["lsn_col"] = None
         m["keys"] = keys
         if batch_id is not None:
             m["batch_ids"].append(batch_id)
@@ -665,6 +750,7 @@ class LakeTable:
         batch_id: str | None = None,
         touched: list[int] | None = None,
         salt: int | None = None,
+        mor: bool = False,
     ) -> int:
         """Last-writer-wins MERGE: one aggregation replaces batch-dedup,
         high-watermark filtering, and the upsert in a single pass.
@@ -691,6 +777,20 @@ class LakeTable:
         default (None) relies on map-side partial aggregation + AQE
         skew handling, which is the right call when keys are merely
         warm; reach for salt when one key dominates whole partitions.
+
+        ``mor=True`` switches this commit to MERGE-ON-READ (Hudi MoR /
+        Iceberg v2 positional-delta analogue): the deduped batch is
+        appended as bucket-aligned DELTA files and NO target bucket is
+        read or rewritten — write cost is O(batch) instead of
+        O(touched buckets), the win for update-heavy streams whose
+        batches touch most buckets (a 10^10-event replay into a hot
+        table rewrites each bucket hundreds of times under CoW).
+        Reads resolve base+deltas with one LWW aggregation until
+        ``compact()`` folds them; ``maybe_compact`` counts delta files
+        as compaction debt, so a streaming job's periodic maintenance
+        bounds the read tax automatically. CoW and MoR commits can be
+        freely interleaved on one table and produce byte-identical
+        state (tests/test_lake_mor.py pins CoW ≡ MoR ≡ oracle).
         """
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
@@ -698,6 +798,41 @@ class LakeTable:
         self._check_merge_keys(m, keys)
         self._merge_schema(m, batch)
         batch = self._conform(batch, m)
+
+        if mor:
+            prev_lsn = m.get("lsn_col")
+            if prev_lsn is not None and prev_lsn != lsn_col:
+                raise ValueError(
+                    f"merge_lsn(mor): table's pending deltas use lsn_col "
+                    f"{prev_lsn!r}, got {lsn_col!r}; compact() before switching"
+                )
+            cols = [n for n, _ in m["schema"]]
+            row = F.struct(*[F.col(c) for c in cols])
+            pre_part = m.get("bucket_fn", "xxhash64") == "murmur3"
+            if pre_part:
+                batch = batch.repartition(
+                    m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+                )
+            # within-batch dedup only — the target is never read; stale
+            # replays below a key's stored LSN are suppressed at read
+            # time by the same comparator
+            deduped = (
+                batch.groupBy(*[F.col(k) for k in keys])
+                .agg(F.max_by(row, F.col(lsn_col)).alias("__w"))
+                .select("__w.*")
+            )
+            new_files = self._write_bucket_files(
+                deduped, keys, m, pre_partitioned=pre_part
+            )
+            deltas = m.get("delta_files") or {}
+            for b, paths in new_files.items():
+                deltas[b] = deltas.get(b, []) + paths
+            m["delta_files"] = deltas
+            m["lsn_col"] = lsn_col
+            m["keys"] = keys
+            if batch_id is not None:
+                m["batch_ids"].append(batch_id)
+            return self._commit(m)
 
         bucket_col = self._bucket_expr(keys, m)
         if touched is None:
@@ -976,6 +1111,10 @@ class LakeTable:
         m["files"] = self._write_bucket_files(
             df, keys, m, max_records_per_file=max_records_per_file
         )
+        # self.read() above resolved any pending merge-on-read deltas,
+        # so this rewrite folds them into the base — clear the ledger
+        m["delta_files"] = {}
+        m["lsn_col"] = None
         if explicit or m.get("keys"):
             # record merge keys only where key semantics exist — an
             # append-only table (lineage/metrics) compacts under a
@@ -1017,6 +1156,8 @@ class LakeTable:
         df = self.read()
         m["buckets"] = new_buckets
         m["files"] = self._write_bucket_files(df, keys, m)
+        m["delta_files"] = {}
+        m["lsn_col"] = None
         m["keys"] = keys
         return self._commit(m)
 
@@ -1038,13 +1179,19 @@ class LakeTable:
         bucket's split parts count as one; only dir entries (merge
         rewrites, appends) accumulate toward the threshold."""
         m = self._read_manifest()
+        deltas = m.get("delta_files") or {}
 
-        def debt(paths: list[str]) -> int:
+        def debt(b: str, paths: list[str]) -> int:
             dirs = sum(1 for p in paths if not p.endswith(".parquet"))
             has_split_parts = dirs < len(paths)
-            return dirs + (1 if has_split_parts else 0)
+            # every pending merge-on-read delta file is read tax on
+            # EACH scan of its bucket — full debt, never layout
+            return dirs + (1 if has_split_parts else 0) + len(deltas.get(b, []))
 
-        worst = max((debt(paths) for paths in m["files"].values()), default=0)
+        worst = max(
+            (debt(b, m["files"].get(b, [])) for b in set(m["files"]) | set(deltas)),
+            default=0,
+        )
         if worst <= max_files_per_bucket:
             return None
         return self.compact(keys=keys, drop_tombstones_col=drop_tombstones_col)
@@ -1065,9 +1212,10 @@ class LakeTable:
         referenced: set[str] = set()
         for sid in keep:
             m = self._read_manifest(sid)
-            for paths in m["files"].values():
-                for p in paths:
-                    referenced.add(p.split("/")[0])
+            for fset in (m["files"], m.get("delta_files") or {}):
+                for paths in fset.values():
+                    for p in paths:
+                        referenced.add(p.split("/")[0])
         for sid in ids:
             if sid not in keep:
                 os.remove(os.path.join(self.root, "snapshots", f"{sid}.json"))
@@ -1101,7 +1249,8 @@ class LakeTable:
             ) from None
         missing = [
             p
-            for paths in target["files"].values()
+            for fset in (target["files"], target.get("delta_files") or {})
+            for paths in fset.values()
             for p in paths
             if not os.path.exists(os.path.join(self.root, "data", p))
         ]
@@ -1142,6 +1291,9 @@ class LakeTable:
             "max_files_per_bucket": max(per_bucket.values(), default=0),
             "schema_columns": len(m["schema"]),
             "committed_batches": len(m["batch_ids"]),
+            "delta_files": sum(
+                len(v) for v in (m.get("delta_files") or {}).values()
+            ),
             "mapping_version": m.get("mapping_version", 0),
             "keys": m.get("keys"),
             "stats_cols": m.get("stats_cols"),

@@ -2673,3 +2673,47 @@ def cms_heavy_tokens(spark, sf):
 def cms_probe_named(toks):
     out = sketches.cms_probe(toks, top_k=20, depth=3, width=1024)
     return out.select("token", "n_exact", "n_cms")
+
+
+@extra_query(
+    "cdc_final_state_mor",
+    """
+    select user_id, content, max_lsn from (
+      select user_id,
+             event_type || ':' || props as content,
+             event_type,
+             event_id as max_lsn,
+             row_number() over (partition by user_id order by event_id desc) as rn
+      from events) t
+    where rn = 1 and event_type <> 'error'
+    """,
+)
+def cdc_final_state_mor(spark, sf):
+    """The cdc_final_state replay through MERGE-ON-READ
+    (write_mode='mor': epochs append bucket-aligned delta files, no
+    target rewrite) plus one compaction fold — attesting that
+    MoR ≡ CoW ≡ the SQL last-writer-wins closed form end-to-end."""
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    e = _t(spark, sf, "events")
+    stream = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.lit("users").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat_ws(":", "event_type", "props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_final_state_mor_")
+    applier = CDCApplier(spark, f"{root}/repos", buckets=8, write_mode="mor")
+    replay_batch(applier, stream, n_batches=4)
+    applier.table.compact(["repo", "path"])
+    live = applier.table.read().filter(~F.col("__deleted"))
+    return live.select(
+        F.col("path").cast("bigint").alias("user_id"),
+        "content",
+        F.col("__max_lsn").alias("max_lsn"),
+    )

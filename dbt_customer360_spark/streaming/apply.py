@@ -52,6 +52,7 @@ class CDCApplier:
         quarantine_root: str | None = None,
         rollup=None,
         rollup_every: int = 1,
+        write_mode: str = "cow",
     ):
         """``assume_dense_batches``: declare that every micro-batch
         touches (essentially) every hash bucket — true for high-volume
@@ -95,7 +96,18 @@ class CDCApplier:
         batch id, so a replayed epoch re-quarantines nothing. Cost: one
         extra column-pruned validation job per batch (keys/lsn/op only,
         never content); a clean batch adds NO filter to the merge plan,
-        and None (default) skips validation entirely."""
+        and None (default) skips validation entirely.
+
+        ``write_mode``: 'cow' (default) rewrites touched buckets per
+        epoch (read-optimized); 'mor' appends bucket-aligned delta
+        files instead (merge-on-read, LakeTable.merge_lsn(mor=True)) —
+        write cost O(batch) regardless of how many buckets the batch
+        touches, with reads paying one LWW resolution until
+        ``maintenance_every``'s cost-gated compaction folds the deltas
+        (delta files count as full compaction debt). The right mode for
+        update-heavy feeds whose every epoch touches most buckets."""
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor': {write_mode!r}")
         self.spark = spark
         self.table = LakeTable(spark, table_root, buckets=buckets)
         self.assume_dense_batches = assume_dense_batches
@@ -120,6 +132,7 @@ class CDCApplier:
         self.rollup = rollup
         self.rollup_every = rollup_every
         self._applied_since_rollup = 0
+        self.write_mode = write_mode
 
     def maybe_maintain(self) -> bool:
         """Cost-gated compaction + snapshot expiry on repos (and
@@ -210,15 +223,21 @@ class CDCApplier:
             .withColumn("__max_lsn", F.col("lsn"))
             .drop("op", "lsn")
         )
+        mor = self.write_mode == "mor"
         sid = self.table.merge_lsn(
             upserts,
             KEYS,
             lsn_col="__max_lsn",
             batch_id=batch_id,
-            touched=list(range(self.table.bucket_count()))
-            if self.assume_dense_batches
-            else None,
+            touched=None
+            if mor
+            else (
+                list(range(self.table.bucket_count()))
+                if self.assume_dense_batches
+                else None
+            ),
             salt=self.hot_key_salt,
+            mor=mor,
         )
         want_partition_rows = (
             self.lineage is not None

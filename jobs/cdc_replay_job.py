@@ -65,6 +65,18 @@ def main(argv: list[str] | None = None) -> int:
         help="batches touch every bucket: skip the touched-bucket discovery scan",
     )
     ap.add_argument(
+        "--write-mode", choices=["cow", "mor"], default="cow",
+        help="'mor' appends bucket-aligned delta files per epoch "
+        "(merge-on-read: no target-bucket read/rewrite, O(batch) write "
+        "cost) instead of copy-on-write bucket rewrites; reads resolve "
+        "deltas until compaction folds them",
+    )
+    ap.add_argument(
+        "--final-compact", action="store_true",
+        help="fold pending merge-on-read deltas into the base after the "
+        "replay (one compaction; returns reads to base-only scans)",
+    )
+    ap.add_argument(
         "--rollback-to", type=int, default=None, metavar="SNAPSHOT_ID",
         help="ops command: roll the table back to SNAPSHOT_ID (forward-history "
         "rollback; reverts files, schema AND the exactly-once batch ledger, "
@@ -171,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_snapshots=args.keep_snapshots,
         lineage_grain=args.lineage_grain,
         quarantine_root=args.quarantine,
+        write_mode=args.write_mode,
     )
     ivm = None
     if args.rollup:
@@ -212,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
             events = spark.read.parquet(args.events)
         stats = replay_batch(applier, events, n_batches=args.batches)
         n = sum(s["rows_applied"] for s in stats)
+    if args.final_compact:
+        applier.table.compact(["repo", "path"])
     dt = time.time() - t0
     out = {
         "mode": args.mode,

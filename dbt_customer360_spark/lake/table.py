@@ -695,6 +695,7 @@ class LakeTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["snapshot_id"]
+        self._refuse_pending_deltas(m, "merge")
         if not self.exists() or not m["files"]:
             if delete_col is not None:
                 batch = batch.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
@@ -791,6 +792,10 @@ class LakeTable:
         bounds the read tax automatically. CoW and MoR commits can be
         freely interleaved on one table and produce byte-identical
         state (tests/test_lake_mor.py pins CoW ≡ MoR ≡ oracle).
+        ``salt`` is a CoW-path knob and is ignored under ``mor``: the
+        MoR aggregation reduces only the batch (map-side combine
+        absorbs within-batch hot keys); plain non-LSN writes
+        (``merge``/``merge_additive``) refuse while deltas are pending.
         """
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
@@ -947,6 +952,7 @@ class LakeTable:
         m = self._read_manifest()
         if batch_id is not None and batch_id in m["batch_ids"]:
             return m["snapshot_id"]
+        self._refuse_pending_deltas(m, "merge_additive")
         if not self.exists() or not m["files"]:
             live = delta.filter(F.col(liveness_col) > 0)
             return self.overwrite(live, keys, batch_id)
@@ -1122,6 +1128,18 @@ class LakeTable:
             # make its next append() refuse
             m["keys"] = keys
         return self._commit(m)
+
+    @staticmethod
+    def _refuse_pending_deltas(m: dict, op: str) -> None:
+        """Plain (non-LSN) write paths have 'batch wins unconditionally'
+        semantics that read-time LWW resolution would silently override
+        whenever a pending delta carries a higher LSN — refuse instead
+        of corrupting; merge_lsn (both modes) interleaves fine."""
+        if m.get("delta_files"):
+            raise ValueError(
+                f"{op}: table has pending merge-on-read delta files; "
+                "compact() to fold them before a non-LSN write"
+            )
 
     def _check_merge_keys(self, m: dict, keys: list[str]) -> None:
         """Incremental merges prune by the bucket layout, which is a

@@ -209,3 +209,18 @@ def test_applier_mor_equals_cow(spark):
     mor.table.compact(["repo", "path"])
     c = sorted(tuple(r[c] for c in key) for r in mor.table.read().collect())
     assert a == c
+
+
+def test_non_lsn_writes_refuse_pending_deltas(spark):
+    """Plain merge()/merge_additive() have 'batch wins' semantics the
+    read-time LWW resolution would silently override — they must refuse
+    until the deltas are folded."""
+    t = _table(spark)
+    t.merge_lsn(_df(spark, [("r", "p", 1, 1)]), KEYS, batch_id="e0", mor=True)
+    plain = spark.createDataFrame([("r", "p", 2)], "repo string, path string, v int")
+    with pytest.raises(ValueError, match="pending merge-on-read"):
+        t.merge(plain, KEYS, batch_id="e1")
+    t.compact(KEYS)
+    t.merge(plain, KEYS, batch_id="e1")  # folds cleanly afterwards
+    got = {(r.repo, r.path): r.v for r in t.read().collect()}
+    assert got == {("r", "p"): 2}

@@ -17,7 +17,7 @@ import re
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -445,3 +445,53 @@ def repetition_features(text: Column) -> dict[str, Column]:
         ).cast("double")
         / n_words,
     }
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Corpus inverted index: one row per term with its document
+    frequency and a capped, sorted posting list — the batch-built
+    index BM25 serving (``bm25_scores``) reads from, and the standard
+    first stage of corpus search / contamination checks.
+
+    Tokenization is the repo-wide cross-engine twin (dedup._shingles /
+    queries._DUCK_TOKS: strip non-alnum → lower → whitespace split).
+    Plan shape at 100 TB: explode(distinct terms per doc) is a pure
+    map stage, then ONE shuffle total — the row_number window hashes
+    on term, and the follow-up groupBy(term) reuses that
+    HashPartitioning (clustering already satisfied → no second
+    exchange). The cap is applied BEFORE collect_list via the window
+    rank (lowest ``max_postings`` doc ids — deterministic), so the
+    agg buffer is bounded even for head terms ("the"), never
+    O(corpus) per key; df still counts every occurrence via the
+    window's full partition count. min_df prunes the hapax tail,
+    which is typically >40% of the vocabulary.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"[^a-z0-9A-Z ]", " ")), r"\s+"
+    )
+    words = F.filter(words, lambda w: w != "")
+    terms = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words)).alias("term")
+    )
+    w = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    capped = (
+        terms.withColumn("rn", F.row_number().over(w))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .filter(F.col("rn") <= max_postings)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(F.array_sort(F.collect_list(id_col)), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -2717,3 +2717,125 @@ def cdc_final_state_mor(spark, sf):
         "content",
         F.col("__max_lsn").alias("max_lsn"),
     )
+
+
+# =============================================================================
+# Data-quality profiling / exact quantiles / outliers / inverted index
+# =============================================================================
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+_PROFILE_ORACLE = "\nunion all\n".join(
+    f"""select '{c}' as column,
+           cast(count({c}) as bigint) as n_notnull,
+           cast(sum(cast({c} is null as bigint)) as bigint) as n_null,
+           cast(count(distinct {c}) as bigint) as n_distinct,
+           cast(min({c}) as varchar) as min_s,
+           cast(max({c}) as varchar) as max_s
+    from orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@extra_query("profile_orders", _PROFILE_ORACLE)
+def profile_orders(spark, sf):
+    """Long-form column profile (dbt schema-test surface: not_null /
+    unique / accepted_values counts plus min/max) computed as ONE
+    full-table aggregate — all columns' stats are parallel agg
+    expressions with map-side combine, reshaped to long form by
+    exploding a struct array over the single aggregated row (no
+    driver round-trip, no per-column rescan). Reference analog: the
+    tests: blocks in models/*.yml."""
+    from dbt_customer360_spark.operators import profile
+
+    o = _t(spark, sf, "orders")
+    return profile.profile_columns(o, _PROFILE_COLS)
+
+
+_QUANTILES_ORACLE = """
+    with base as (select lang, n_chars from documents where n_chars is not null)
+    select lang, cast(0.5 as double) as q, quantile_disc(n_chars, 0.5) as value
+    from base group by lang
+    union all
+    select lang, cast(0.9 as double) as q, quantile_disc(n_chars, 0.9) as value
+    from base group by lang
+    union all
+    select lang, cast(0.99 as double) as q, quantile_disc(n_chars, 0.99) as value
+    from base group by lang
+"""
+
+
+@extra_query("quantiles_docs", _QUANTILES_ORACLE)
+def quantiles_docs(spark, sf):
+    """Exact PERCENTILE_DISC(0.5/0.9/0.99) of document length per
+    language via ONE row_number window (value at rank ceil(q*n) — the
+    SQL-standard discrete quantile, which DuckDB's native
+    quantile_disc implements; the oracle uses the native function so
+    the two formulations check each other)."""
+    from dbt_customer360_spark.operators import profile
+
+    d = _t(spark, sf, "documents")
+    return profile.exact_quantiles(d, "n_chars", ["lang"], [0.5, 0.9, 0.99])
+
+
+_ZSCORE_ORACLE = """
+    with stats as (
+      select lang,
+             count(*) as cnt, sum(n_chars) as s, sum(n_chars * n_chars) as s2
+      from documents where n_chars is not null group by lang),
+    st2 as (
+      select lang,
+             cast(s as double) / cnt as mean,
+             greatest((cast(s2 as double) - cast(s as double) * cast(s as double)
+                       / cnt) / cnt, 0.0) as var
+      from stats),
+    st3 as (select lang, mean, sqrt(var) as std from st2 where var > 0)
+    select d.lang, d.n_chars,
+           floor((cast(d.n_chars as double) - s.mean) / s.std * 1e6 + 0.5) / 1e6
+             as zscore
+    from documents d join st3 s using (lang)
+    where d.n_chars is not null
+      and abs((cast(d.n_chars as double) - s.mean) / s.std) > 1.5
+"""
+
+
+@extra_query("zscore_outliers_docs", _ZSCORE_ORACLE)
+def zscore_outliers_docs(spark, sf):
+    """Per-language length outliers (|population z| > 1.5 — the doc
+    lengths are near-uniform, so the tail starts early). Integer
+    sums make the group stats exact and order-free; mean/var/sqrt are
+    then a fixed exactly-rounded IEEE sequence, so the z-scores are
+    bit-identical cross-engine (sqrt IS correctly rounded per
+    IEEE-754 — no transcendental drift). The stats dim is one row per
+    group, broadcast back — the data side never re-shuffles."""
+    from dbt_customer360_spark.operators import profile
+
+    d = _t(spark, sf, "documents")
+    return profile.zscore_outliers(d, "n_chars", ["lang"], threshold=1.5)
+
+
+_INVINDEX_ORACLE = f"""
+    with toks as ({_DUCK_TOKS}),
+    ex as (select doc_id, unnest(list_distinct(ws)) as term from toks),
+    capped as (
+      select term, doc_id,
+             row_number() over (partition by term order by doc_id) as rn,
+             count(*) over (partition by term) as df
+      from ex)
+    select term, cast(max(df) as bigint) as df,
+           array_to_string(list_sort(list(doc_id)), ',') as postings
+    from capped where rn <= 20
+    group by term having max(df) >= 5
+"""
+
+
+@extra_query("inverted_index_docs", _INVINDEX_ORACLE)
+def inverted_index_docs(spark, sf):
+    """Corpus inverted index (term → df + capped sorted posting list),
+    the batch index stage under BM25 serving. One shuffle: the
+    posting cap is a row_number window on term whose HashPartitioning
+    the follow-up groupBy reuses (no second exchange, plan-pinned in
+    tests/test_profile.py), and the cap bounds the agg buffer for
+    head terms — never O(corpus) per key."""
+    d = _t(spark, sf, "documents")
+    return textstats.inverted_index(d, min_df=5, max_postings=20)

@@ -2839,3 +2839,55 @@ def inverted_index_docs(spark, sf):
     head terms — never O(corpus) per key."""
     d = _t(spark, sf, "documents")
     return textstats.inverted_index(d, min_df=5, max_postings=20)
+
+
+@extra_query(
+    "cdc_expectations_state",
+    """
+    select user_id, content, max_lsn from (
+      select user_id,
+             event_type || ':' || props as content,
+             event_type,
+             event_id as max_lsn,
+             row_number() over (partition by user_id order by event_id desc) as rn
+      from events where value >= 20.0) t
+    where rn = 1 and event_type <> 'error'
+    """,
+)
+def cdc_expectations_state(spark, sf):
+    """cdc_final_state replayed through a user data-quality gate
+    (CDCApplier expectations, DLT-style expect_or_drop): events with
+    value < 20 dead-letter instead of merging, so the final table is
+    the LWW closed form over the SURVIVING feed — which is exactly
+    what the oracle's WHERE clause states. Violations are counted in
+    the same single validation job the quarantine path already pays."""
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    e = _t(spark, sf, "events")
+    stream = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.lit("users").alias("repo"),
+        F.col("user_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat_ws(":", "event_type", "props").alias("content"),
+        F.col("value").alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_expect_q_")
+    applier = CDCApplier(
+        spark,
+        f"{root}/repos",
+        buckets=8,
+        quarantine_root=f"{root}/dl",
+        expectations=[("value_floor", "value >= 20.0", "quarantine")],
+    )
+    replay_batch(applier, stream, n_batches=4)
+    live = applier.table.read().filter(~F.col("__deleted"))
+    return live.select(
+        F.col("path").cast("bigint").alias("user_id"),
+        "content",
+        F.col("__max_lsn").alias("max_lsn"),
+    )

@@ -50,6 +50,7 @@ class CDCApplier:
         lineage_grain: str = "epoch",
         partition_col: str = "source_connector",
         quarantine_root: str | None = None,
+        expectations: list[tuple[str, str, str]] | None = None,
         rollup=None,
         rollup_every: int = 1,
         write_mode: str = "cow",
@@ -98,6 +99,19 @@ class CDCApplier:
         never content); a clean batch adds NO filter to the merge plan,
         and None (default) skips validation entirely.
 
+        ``expectations``: user data-quality rules evaluated per batch —
+        ``(name, sql_predicate, action)`` with action ``'quarantine'``
+        (violating rows go to the dead-letter table, valid rows merge —
+        requires ``quarantine_root``) or ``'fail'`` (ANY violation
+        aborts the epoch BEFORE any write, so a retry after fixing the
+        feed is exactly-once clean). The predicate states what must
+        HOLD; evaluation is strict — a NULL predicate result counts as
+        a violation (ingest gates want missing-data rows caught, unlike
+        SQL CHECK's pass-on-NULL). Rules are checked in order after the
+        built-in malformed-event rules, and per-rule violation counts
+        ride the lineage stats (``violations``) from the same single
+        validation job the quarantine path already pays for.
+
         ``write_mode``: 'cow' (default) rewrites touched buckets per
         epoch (read-optimized); 'mor' appends bucket-aligned delta
         files instead (merge-on-read, LakeTable.merge_lsn(mor=True)) —
@@ -118,6 +132,22 @@ class CDCApplier:
         self.quarantine = (
             LakeTable(spark, quarantine_root, buckets=1) if quarantine_root else None
         )
+        self.expectations = list(expectations or [])
+        seen_names: set[str] = set()
+        for name, _pred, action in self.expectations:
+            if action not in ("quarantine", "fail"):
+                raise ValueError(
+                    f"expectation {name!r}: action must be 'quarantine' or "
+                    f"'fail', got {action!r}"
+                )
+            if action == "quarantine" and self.quarantine is None:
+                raise ValueError(
+                    f"expectation {name!r} quarantines rows but no "
+                    "quarantine_root was configured"
+                )
+            if name in seen_names:
+                raise ValueError(f"duplicate expectation name {name!r}")
+            seen_names.add(name)
         self.lineage_grain = lineage_grain
         self.partition_col = partition_col
         self.maintenance_every = maintenance_every
@@ -187,18 +217,52 @@ class CDCApplier:
 
         batch = self.table.resolve_feed_columns(batch)
         n_quarantined = 0
-        if self.quarantine is not None:
-            reason = F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
-            for k in KEYS:
-                reason = reason.when(F.col(k).isNull(), F.lit(f"null_key_{k}"))
-            reason = reason.when(
-                F.col("op").isNull()
-                | ~F.col("op").isin("insert", "update", "delete"),
-                F.lit("bad_op"),
-            )
+        violations: dict[str, int] = {}
+        fail_names = {n for n, _p, a in self.expectations if a == "fail"}
+        if self.quarantine is not None or fail_names:
+            # ONE reason chain, first match wins: fail-rules outrank
+            # drop-rules (a row violating both must abort, not slip
+            # into the dead-letter table), built-ins rank between.
+            reason = F.lit(None).cast("string")
+            for name, pred, action in self.expectations:
+                if action != "fail":
+                    continue
+                reason = F.when(
+                    reason.isNotNull(), reason
+                ).otherwise(
+                    F.when(~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name))
+                )
+            if self.quarantine is not None:
+                chain = F.when(F.col("lsn").isNull(), F.lit("null_lsn"))
+                for k in KEYS:
+                    chain = chain.when(F.col(k).isNull(), F.lit(f"null_key_{k}"))
+                chain = chain.when(
+                    F.col("op").isNull()
+                    | ~F.col("op").isin("insert", "update", "delete"),
+                    F.lit("bad_op"),
+                )
+                for name, pred, action in self.expectations:
+                    if action != "quarantine":
+                        continue
+                    chain = chain.when(
+                        ~F.coalesce(F.expr(pred), F.lit(False)), F.lit(name)
+                    )
+                reason = F.when(reason.isNotNull(), reason).otherwise(chain)
             flagged = batch.withColumn("__reason", reason)
             bad = flagged.filter(F.col("__reason").isNotNull())
-            n_quarantined = bad.count()  # column-pruned: keys/lsn/op only
+            # one validation job: per-reason counts (column-pruned to
+            # keys/lsn/op + expectation inputs)
+            violations = {
+                r["__reason"]: r["n"]
+                for r in bad.groupBy("__reason").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            failed = {k: v for k, v in violations.items() if k in fail_names}
+            if failed:
+                raise ValueError(
+                    f"epoch {epoch_id}: fail-expectation violated, nothing "
+                    f"written: {failed}"
+                )
+            n_quarantined = sum(violations.values())
             if n_quarantined:
                 self.quarantine.append(
                     bad.withColumn("epoch", F.lit(str(epoch_id))),
@@ -282,6 +346,7 @@ class CDCApplier:
             "skipped": False,
             "rows_applied": stats["rows_applied"] or 0,
             "quarantined": n_quarantined,
+            "violations": violations,
             "deletes": stats["deletes"] or 0,
             "min_lsn": stats["min_lsn"],
             "max_lsn": stats["max_lsn"],

@@ -3,6 +3,8 @@
 import hashlib
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from dbt_customer360_spark.sources.cdc import generate_change_events
@@ -489,3 +491,95 @@ def test_job_cli_rollup_maintenance(spark):
     rep2 = json.loads(out.getvalue().strip().splitlines()[-1])
     assert rep2["rollup"]["caught_up"] is True
     assert rep2["rollup"]["repos"] == len(exp)
+
+
+def test_expectations_quarantine_action(spark):
+    """User expectation with action='quarantine': violating rows (and
+    strict-NULL rows) dead-letter under the rule's name; valid rows
+    merge; per-rule counts ride the lineage stats."""
+    root = tempfile.mkdtemp(prefix="cdc_exp_")
+    ap = CDCApplier(
+        spark,
+        f"{root}/repos",
+        buckets=4,
+        quarantine_root=f"{root}/dl",
+        expectations=[("content_present", "content is not null", "quarantine"),
+                      ("lang_known", "lang in ('py', 'go')", "quarantine")],
+    )
+    rows = [
+        (1, "insert", "r", "p1", "c", "py", "ok", "s", None),
+        (2, "insert", "r", "p2", "c", "py", None, "s", None),   # content_present
+        (3, "insert", "r", "p3", "c", "rs", "x", "s", None),    # lang_known
+        (4, "insert", "r", "p4", "c", None, "y", "s", None),    # NULL pred = violation
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp",
+    )
+    stats = ap.apply_batch(df, epoch_id=0)
+    assert stats["quarantined"] == 3 and stats["rows_applied"] == 1
+    assert stats["violations"] == {"content_present": 1, "lang_known": 2}
+    dl = {r.path: r["__reason"] for r in ap.quarantined().collect()}
+    assert dl == {"p2": "content_present", "p3": "lang_known", "p4": "lang_known"}
+    assert {r.path for r in ap.state().collect()} == {"p1"}
+
+
+def test_expectations_fail_action_aborts_before_write(spark):
+    """action='fail': one violating row aborts the epoch with nothing
+    committed (not even quarantine rows); the fixed feed then applies
+    under the SAME epoch id (exactly-once clean retry)."""
+    root = tempfile.mkdtemp(prefix="cdc_expf_")
+    ap = CDCApplier(
+        spark,
+        f"{root}/repos",
+        buckets=4,
+        quarantine_root=f"{root}/dl",
+        expectations=[("lsn_positive", "lsn > 0", "fail")],
+    )
+    rows = [
+        (1, "insert", "r", "p1", "c", "py", "ok", "s", None),
+        (-7, "insert", "r", "p2", "c", "py", "neg", "s", None),
+    ]
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+    with pytest.raises(ValueError, match="lsn_positive"):
+        ap.apply_batch(df, epoch_id=0)
+    assert not ap.table.exists()
+    assert ap.quarantined().count() == 0
+    # fail outranks quarantine built-ins: a row violating BOTH (null
+    # key + bad lsn) still aborts
+    both = spark.createDataFrame([( -1, "insert", None, "p", "c", "py", "x", "s", None)], schema)
+    with pytest.raises(ValueError, match="lsn_positive"):
+        ap.apply_batch(both, epoch_id=0)
+    # fixed feed, same epoch id: applies normally
+    good = spark.createDataFrame(rows[:1], schema)
+    s = ap.apply_batch(good, epoch_id=0)
+    assert s["rows_applied"] == 1 and s["violations"] == {}
+
+
+def test_expectations_config_validation(spark):
+    root = tempfile.mkdtemp(prefix="cdc_expv_")
+    with pytest.raises(ValueError, match="action must be"):
+        CDCApplier(spark, f"{root}/a", expectations=[("x", "1=1", "drop")])
+    with pytest.raises(ValueError, match="no.*quarantine_root|quarantine_root"):
+        CDCApplier(spark, f"{root}/b", expectations=[("x", "1=1", "quarantine")])
+    with pytest.raises(ValueError, match="duplicate"):
+        CDCApplier(
+            spark,
+            f"{root}/c",
+            quarantine_root=f"{root}/dl",
+            expectations=[("x", "1=1", "quarantine"), ("x", "2=2", "fail")],
+        )
+    # fail-only expectations need no quarantine table
+    ap = CDCApplier(spark, f"{root}/d", buckets=2,
+                    expectations=[("x", "lsn is not null", "fail")])
+    df = spark.createDataFrame(
+        [(1, "insert", "r", "p", "c", "py", "ok", "s", None)],
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp",
+    )
+    assert ap.apply_batch(df, epoch_id=0)["rows_applied"] == 1

@@ -368,6 +368,53 @@ class LakeTable:
             return base
         return self._mor_resolve(m, base, self._read_paths(m, delta_paths))
 
+    def read_point(
+        self, key_values: dict, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Point lookup by full merge key — the serving GET of the CDC
+        state store. Reads ONLY the key's hash bucket (base files +
+        that bucket's pending MoR deltas), so the scan is O(table /
+        buckets) no matter how big the table is; at the 100 TB layout
+        (~32–64k buckets, a few GB each) that's one or two parquet
+        dirs instead of the table.
+
+        The key's bucket id is computed with the SAME hash family the
+        layout was written under (``_bucket_expr`` over a 1-row JVM
+        LocalRelation — murmur3/xxhash64 are not reimplemented
+        driver-side, so the lookup can never drift from the writer).
+        Bucket pruning is exact even while deltas are pending: deltas
+        are bucket-aligned by the same expression, so every version of
+        the key lives in this one bucket — unlike value-stats pruning,
+        which ``read_where`` suspends under pending deltas. The
+        key-equality filter is applied BEFORE the LWW resolve (it
+        commutes with the per-key aggregation), so the resolve touches
+        only the key's rows. Tombstones are returned as-is (caller
+        filters ``__deleted``) — a GET must be able to distinguish
+        "deleted" from "never existed"."""
+        m = self._read_manifest(snapshot_id)
+        keys = m.get("keys") or []
+        if not keys:
+            raise ValueError("read_point requires a merged table (no keys recorded)")
+        if set(key_values) != set(keys):
+            raise ValueError(
+                f"read_point needs the FULL merge key {keys}, got "
+                f"{sorted(key_values)}"
+            )
+        types = dict(m["schema"])
+        ddl = ", ".join(f"`{k}` {types[k]}" for k in keys)
+        probe = local_df(self.spark, [tuple(key_values[k] for k in keys)], ddl)
+        bucket = str(probe.select(self._bucket_expr(keys, m)).first()[0])
+        pred = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.lit(key_values[k]))
+            pred = c if pred is None else (pred & c)
+        base = self._read_paths(m, m["files"].get(bucket, [])).filter(pred)
+        delta_rel = (m.get("delta_files") or {}).get(bucket, [])
+        if not delta_rel:
+            return base
+        delta = self._read_paths(m, delta_rel).filter(pred)
+        return self._mor_resolve(m, base, delta)
+
     def changelog(
         self,
         from_snapshot_id: int,

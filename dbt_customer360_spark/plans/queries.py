@@ -2891,3 +2891,36 @@ def cdc_expectations_state(spark, sf):
         "content",
         F.col("__max_lsn").alias("max_lsn"),
     )
+
+
+@extra_query(
+    "lake_point_lookup",
+    """
+    select o_orderkey,
+           o_totalprice + 1000.0 as o_totalprice,
+           cast(2 as bigint) as lsn
+    from orders
+    where o_orderkey = (select min(o_orderkey) from orders)
+    """,
+)
+def lake_point_lookup(spark, sf):
+    """Serving GET (LakeTable.read_point): single-bucket point lookup
+    through a table with a PENDING MoR delta — the base row for the
+    key plus its delta update resolve LWW without touching any other
+    bucket (inputFiles ⊂ table files pinned in tests/test_lake_mor.py).
+    The oracle states the expected end state in plain SQL: the min
+    orderkey's row with the delta's +1000 price at lsn 2."""
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    k = o.agg(F.min("o_orderkey")).first()[0]
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="pointlookup_q_"), buckets=8)
+    t.merge_lsn(o.withColumn("lsn", F.lit(1).cast("bigint")), ["o_orderkey"],
+                lsn_col="lsn", batch_id="base")
+    upd = o.filter(F.col("o_orderkey") == k).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit(2).cast("bigint").alias("lsn"),
+    )
+    t.merge_lsn(upd, ["o_orderkey"], lsn_col="lsn", batch_id="upd", mor=True)
+    return t.read_point({"o_orderkey": k}).select("o_orderkey", "o_totalprice", "lsn")

@@ -224,3 +224,40 @@ def test_non_lsn_writes_refuse_pending_deltas(spark):
     t.merge(plain, KEYS, batch_id="e1")  # folds cleanly afterwards
     got = {(r.repo, r.path): r.v for r in t.read().collect()}
     assert got == {("r", "p"): 2}
+
+
+def test_read_point_single_bucket_get(spark):
+    """read_point: the serving GET — scans only the key's bucket (base
+    + that bucket's deltas), resolves LWW, returns tombstones so the
+    caller can tell deleted from never-existed."""
+    t = _table(spark)
+    rows = [(f"r{i}", f"p{i}", i, i) for i in range(32)]
+    t.merge_lsn(_df(spark, rows), KEYS, batch_id="b0")
+    # MoR update to one key, not yet compacted
+    t.merge_lsn(_df(spark, [("r3", "p3", 99, 100)]), KEYS, batch_id="b1", mor=True)
+    got = t.read_point({"repo": "r3", "path": "p3"}).collect()
+    assert len(got) == 1 and got[0].v == 99 and got[0]["__max_lsn"] == 100
+    # unaffected key still served correctly through the delta-pending table
+    got7 = t.read_point({"repo": "r7", "path": "p7"}).collect()
+    assert len(got7) == 1 and got7[0].v == 7
+    # never-existed key: empty
+    assert t.read_point({"repo": "rX", "path": "pX"}).count() == 0
+    # the scan touches ONE bucket's files, not the table's
+    m = t._read_manifest()
+    point_files = set(t.read_point({"repo": "r7", "path": "p7"}).inputFiles())
+    all_files = set(t.read().inputFiles())
+    assert point_files and point_files < all_files
+    assert len(m["files"]) > 1  # the prune had something to prune
+
+
+def test_read_point_requires_full_key_and_tombstones(spark):
+    t = _table(spark)
+    t.merge_lsn(_df(spark, [("r", "p", 1, 1)]), KEYS, batch_id="b0")
+    with pytest.raises(ValueError, match="FULL merge key"):
+        t.read_point({"repo": "r"})
+    # delete tombstone (a __deleted data column, the CDCApplier
+    # convention) stays visible through read_point
+    d = _df(spark, [("r", "p", 0, 2)]).withColumn("__deleted", F.lit(True))
+    t.merge_lsn(d, KEYS, batch_id="b1")
+    got = t.read_point({"repo": "r", "path": "p"}).collect()
+    assert len(got) == 1 and bool(got[0]["__deleted"])

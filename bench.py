@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ivm_rollup_orders",
     "scd2_history_events",
     "moving_window_events",
+    "inverted_index_docs",
 ]
 
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "300000"))

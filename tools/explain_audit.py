@@ -37,6 +37,10 @@ AUDIT = [
     "asof_join_events",
     "range_join_events",
     "ivm_rollup_orders",
+    "inverted_index_docs",
+    "quantiles_docs",
+    "zscore_outliers_docs",
+    "profile_orders",
 ]
 
 RED_FLAGS = ["BroadcastNestedLoopJoin", "CartesianProduct"]

@@ -245,3 +245,70 @@ def cms_probe(
     return est.groupBy("token").agg(
         F.max("n_exact").alias("n_exact"), F.min("cnt").alias("n_cms")
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch via uniform hash sampling
+# ---------------------------------------------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    qs: list[float],
+    sample_mod: int = 8,
+    seed: str = "qs42",
+) -> DataFrame:
+    """Whole-corpus quantile estimates from a deterministic uniform
+    hash sample — the scale path the exact per-group
+    ``profile.exact_quantiles`` defers to for global distributions.
+
+    Rows whose ``uint60(seed || ':' || id) % sample_mod == 0`` form a
+    1/``sample_mod`` uniform sample (membership a pure function of the
+    id — re-run-stable, partition-independent, the same family as
+    :func:`hash_split`); the PERCENTILE_DISC(q) of the sample is the
+    estimate. Standard sampling theory: the sample q-quantile deviates
+    by more than ε in rank with probability 2·exp(−2·n·ε²) — a 1M-row
+    sample pins every quantile to ±0.2 % rank at 99.99 % confidence,
+    regardless of corpus size.
+
+    Scale: the filter prunes to 1/``sample_mod`` BEFORE any exchange;
+    the sample is then sorted in ONE task (empty window partition —
+    deliberate: size ``sample_mod`` so the sample fits, e.g. 2^14 for
+    a 10^10-row feed). Deterministic hashing makes the estimate
+    bit-reproducible, so the oracle replays it exactly rather than
+    asserting tolerances.
+    """
+    keep = uint60(_tag(f"{seed}:", F.col(id_col))) % sample_mod == 0
+    sample = df.filter(keep).filter(F.col(value_col).isNotNull())
+    from dbt_customer360_spark.operators.profile import exact_quantiles
+
+    out = exact_quantiles(
+        sample.withColumn("__g", F.lit(1)), value_col, ["__g"], qs
+    )
+    return out.drop("__g")
+
+
+def quantile_sketch_sql(
+    table: str,
+    id_col: str,
+    value_col: str,
+    qs: list[float],
+    sample_mod: int = 8,
+    seed: str = "qs42",
+) -> str:
+    """DuckDB twin rendered from the same constants (native
+    quantile_disc == the rank-rule the Spark side implements)."""
+    keep = (
+        f"('0x' || substr(md5('{seed}:' || cast({id_col} as varchar)), 1, 15))"
+        f"::ubigint % {sample_mod} = 0"
+    )
+    sels = "\n    union all\n    ".join(
+        f"select cast({q} as double) as q, quantile_disc({value_col}, {q}) as value "
+        f"from sample"
+        for q in qs
+    )
+    return (
+        f"with sample as (select {value_col} from {table} "
+        f"where {keep} and {value_col} is not null)\n    {sels}"
+    )

@@ -2924,3 +2924,22 @@ def lake_point_lookup(spark, sf):
     )
     t.merge_lsn(upd, ["o_orderkey"], lsn_col="lsn", batch_id="upd", mor=True)
     return t.read_point({"o_orderkey": k}).select("o_orderkey", "o_totalprice", "lsn")
+
+
+@extra_query(
+    "quantile_sketch_docs",
+    sketches.quantile_sketch_sql(
+        "documents", "doc_id", "n_chars", [0.25, 0.5, 0.9, 0.99], sample_mod=4
+    ),
+)
+def quantile_sketch_docs(spark, sf):
+    """Whole-corpus quantile ESTIMATES from the deterministic 1/4 hash
+    sample (operators/sketches.quantile_sketch) — the scale path for
+    global distributions where exact_quantiles' per-group sort won't
+    fit one task. Deterministic sampling makes the estimate itself
+    bit-reproducible, so the oracle replays it exactly (DuckDB native
+    quantile_disc over the identically-sampled rows)."""
+    d = _t(spark, sf, "documents")
+    return sketches.quantile_sketch(
+        d, "doc_id", "n_chars", [0.25, 0.5, 0.9, 0.99], sample_mod=4
+    )

@@ -103,3 +103,52 @@ def test_cms_sketch_partial_aggregation(spark):
     toks = sketches.tokens(_docs(spark))
     plan = _plan(sketches.cms_sketch(toks))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_quantile_sketch_rank_accuracy(spark):
+    """On 4000 uniform values the 1/4-sample median must land within
+    a few percent of the true rank (sampling bound: ±0.2% needs 1M
+    rows; at n≈1000 allow ±5% rank error)."""
+    df = spark.createDataFrame(
+        [(i, i) for i in range(4000)], "id bigint, x bigint"
+    )
+    got = {
+        r.q: r.value
+        for r in sketches.quantile_sketch(df, "id", "x", [0.5, 0.9]).collect()
+    }
+    assert abs(got[0.5] - 2000) < 4000 * 0.05
+    assert abs(got[0.9] - 3600) < 4000 * 0.05
+
+
+def test_quantile_sketch_subset_stability(spark):
+    """Membership is a pure function of the id: dropping rows OUTSIDE
+    the sample never changes which rows are sampled, so the estimate
+    over (sampled ∪ anything) equals the estimate over the full set
+    restricted to the same sampled ids."""
+    full = spark.createDataFrame([(i, i) for i in range(1000)], "id bigint, x bigint")
+    sampled_ids = {
+        r.id
+        for r in full.filter(
+            sketches.uint60(F.concat(F.lit("qs42:"), F.col("id").cast("string")))
+            % 4 == 0
+        ).collect()
+    }
+    sub = full.filter(F.col("id").isin(list(sampled_ids) + [1, 2, 3]))
+    a = sorted(
+        (r.q, r.value)
+        for r in sketches.quantile_sketch(full, "id", "x", [0.5], sample_mod=4).collect()
+    )
+    b = sorted(
+        (r.q, r.value)
+        for r in sketches.quantile_sketch(sub, "id", "x", [0.5], sample_mod=4).collect()
+    )
+    assert a == b
+
+
+def test_quantile_sketch_filter_before_exchange(spark):
+    """The 1/mod prune must sit under the window exchange — the corpus
+    never shuffles, only the sample does."""
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id bigint, x bigint")
+    plan = _plan(sketches.quantile_sketch(df, "id", "x", [0.5]))
+    # exactly one exchange (the sample's window); the filter is below it
+    assert plan.count("Exchange") == 1

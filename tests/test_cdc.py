@@ -583,3 +583,35 @@ def test_expectations_config_validation(spark):
         "lang string, content string, source_connector string, ts timestamp",
     )
     assert ap.apply_batch(df, epoch_id=0)["rows_applied"] == 1
+
+
+def test_expectations_through_streaming(spark, tmp_path):
+    """expect_or_drop runs inside the real foreachBatch stream: the
+    violating rows dead-letter per micro-batch, the survivors' final
+    state matches the oracle over the FILTERED feed, and the query
+    terminates (the validation path must not add an Observation)."""
+    events = _events(spark, 1200)
+    src = str(tmp_path / "events")
+    events.repartition(4).write.parquet(src)
+    schema = (
+        "lsn long, op string, repo string, path string, commit string, "
+        "lang string, content string, source_connector string, ts timestamp"
+    )
+    root = str(tmp_path / "lake")
+    ap = CDCApplier(
+        spark,
+        f"{root}/repos",
+        buckets=4,
+        quarantine_root=f"{root}/dl",
+        expectations=[("even_lsn", "lsn % 2 = 0", "quarantine")],
+    )
+    q = ap.stream(src, str(tmp_path / "ckpt"), schema=schema, max_files_per_trigger=2)
+    assert q.awaitTermination(300) is True
+    kept = [r for r in events.collect() if r.lsn % 2 == 0]
+    dropped = events.count() - len(kept)
+    assert _sha(_engine_state(ap)) == _sha(_python_oracle(kept))
+    dl = ap.quarantined()
+    assert dl.count() == dropped
+    assert {r["__reason"] for r in dl.select("__reason").distinct().collect()} == {
+        "even_lsn"
+    }

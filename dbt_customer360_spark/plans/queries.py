@@ -2943,3 +2943,68 @@ def quantile_sketch_docs(spark, sf):
     return sketches.quantile_sketch(
         d, "doc_id", "n_chars", [0.25, 0.5, 0.9, 0.99], sample_mod=4
     )
+
+
+_SCD2_ASOF_ORACLE = """
+    with ordered as (
+      select user_id, ts, event_id, event_type, value,
+             row_number() over w as rn,
+             lag(event_type) over w as p_t,
+             lag(value) over w as p_v
+      from events
+      window w as (partition by user_id order by ts, event_id)),
+    chg as (
+      select user_id, ts, event_type, value
+      from ordered
+      where rn = 1 or event_type is distinct from p_t
+            or value is distinct from p_v),
+    facts as (
+      select user_id, event_id, ts from events where event_type = 'purchase'),
+    j as (
+      select f.user_id, f.event_id,
+             c.event_type as state_type, c.value as state_value,
+             row_number() over (partition by f.user_id, f.event_id
+                                order by c.ts desc) as rn
+      from facts f join chg c on c.user_id = f.user_id and c.ts <= f.ts)
+    select user_id, event_id, state_type, state_value from j where rn = 1
+"""
+
+
+@extra_query("scd2_asof_enrich", _SCD2_ASOF_ORACLE)
+def scd2_asof_enrich(spark, sf):
+    """Point-in-time dimension enrichment — the composition the SCD2
+    history exists FOR: each purchase fact picks up the user-state
+    version valid AT ITS OWN timestamp (scd2_history → asof_join
+    backward on valid_from). Neither side is re-scanned per version:
+    the asof is the union-sort single-window plan (no join node), so
+    the whole enrichment is two hash exchanges end-to-end. The oracle
+    replays it as the standard greatest-valid_from-≤-ts theta join +
+    rank filter."""
+    from dbt_customer360_spark.operators.asof import asof_join
+    from dbt_customer360_spark.operators.scd2 import scd2_history
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    hist = scd2_history(
+        e, ["user_id"], "ts", ["event_type", "value"], tiebreak="event_id"
+    )
+    dim = hist.select(
+        "user_id",
+        "valid_from",
+        F.col("event_type").alias("state_type"),
+        F.col("value").alias("state_value"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        facts,
+        dim,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        payload=["state_type", "state_value"],
+        direction="backward",
+    )
+    return out.select("user_id", "event_id", "state_type", "state_value")

@@ -3008,3 +3008,60 @@ def scd2_asof_enrich(spark, sf):
         direction="backward",
     )
     return out.select("user_id", "event_id", "state_type", "state_value")
+
+
+_DQTESTS_ORACLE = """
+    select 'not_null' as test, 'orders.o_orderkey' as target,
+           cast(sum(cast(o_orderkey is null as bigint)) as bigint) as n_violations
+    from orders
+    union all
+    select 'accepted_values', 'orders.o_orderstatus',
+           cast(sum(cast(o_orderstatus not in ('O', 'F')
+                         and o_orderstatus is not null as bigint)) as bigint)
+    from orders
+    union all
+    select 'unique', 'orders.o_orderkey',
+           cast(coalesce(sum(n - 1), 0) as bigint)
+    from (select o_orderkey, count(*) as n from orders
+          group by o_orderkey having count(*) > 1)
+    union all
+    select 'relationships', 'orders.o_custkey->customer.c_custkey',
+           cast(count(*) as bigint)
+    from (select distinct o_custkey from orders where o_custkey is not null) f
+    where not exists (select 1 from customer c where c.c_custkey = f.o_custkey)
+    union all
+    select 'unique', 'lineitem.l_orderkey+l_linenumber',
+           cast(coalesce(sum(n - 1), 0) as bigint)
+    from (select l_orderkey, l_linenumber, count(*) as n from lineitem
+          group by 1, 2 having count(*) > 1)
+"""
+
+
+@extra_query(
+    "dbt_schema_tests",
+    f"select test, target, n_violations, n_violations = 0 as passed from ({_DQTESTS_ORACLE})",
+)
+def dbt_schema_tests(spark, sf):
+    """dbt's four generic schema tests (`dbt test` — the framework the
+    reference's CI relies on) compiled Spark-side: not_null +
+    accepted_values fuse into ONE agg per table, unique is a per-key
+    groupBy, relationships a distinct-FK anti join (operators/
+    dqtests.py). accepted_values is deliberately restricted to
+    ('O','F') so the report exercises a FAILING row ('P' exists)."""
+    from dbt_customer360_spark.operators import dqtests
+
+    tables = {
+        "orders": _t(spark, sf, "orders"),
+        "customer": _t(spark, sf, "customer"),
+        "lineitem": _t(spark, sf, "lineitem"),
+    }
+    spec = {
+        "orders": {
+            "not_null": ["o_orderkey"],
+            "accepted_values": {"o_orderstatus": ["O", "F"]},
+            "unique": [["o_orderkey"]],
+            "relationships": [("o_custkey", "customer", "c_custkey")],
+        },
+        "lineitem": {"unique": [["l_orderkey", "l_linenumber"]]},
+    }
+    return dqtests.run_schema_tests(spark, tables, spec)

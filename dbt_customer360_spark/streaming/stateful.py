@@ -225,3 +225,49 @@ def stateful_lsn_filter(
             timeoutConf=timeout,
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower_s: int = 0,
+    upper_s: int = 3600,
+    watermark: str = "10 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join: right events within
+    ``[left_ts + lower_s, left_ts + upper_s]`` of each left event on
+    the same ``key`` — e.g. "purchases within an hour of a click".
+
+    Both sides carry a watermark and the join condition carries the
+    time-range bound — the TWO requirements Spark's streaming planner
+    needs to age out buffered rows: each side's state holds only rows
+    newer than (watermark − the interval width), so state is bounded
+    by rate × (watermark + interval) regardless of stream length.
+    Batch DataFrames take the same plan minus the state manager
+    (unified semantics — the pytest pins stream ≡ batch on the same
+    input). Right-side columns are prefixed to keep the joined schema
+    collision-free.
+    """
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    rw = rw.select(
+        F.col(key).alias(f"{right_prefix}{key}"),
+        F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    rk, rt = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rt) >= F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner").drop(rk)

@@ -223,3 +223,59 @@ def test_session_windows_finalize_with_watermark(spark):
     # event merged in — 3 events, 2 op types
     # session B: [10:27, 10:37), 1 event — opened by the 12-min gap
     assert (("r1", 0, 25, 3, 2) in got) and (("r1", 27, 37, 1, 1) in got), got
+
+
+def test_stream_stream_interval_join(spark):
+    """Two real file streams joined within a per-key time interval:
+    results equal the batch theta join over the same input (unified
+    semantics), and the plan is a streaming symmetric-hash join with
+    watermark state bounds (no unbounded buffering)."""
+    clicks_ddl = "user string, ts timestamp, page string"
+    buys_ddl = "user string, ts timestamp, amount long"
+    croot = tempfile.mkdtemp(prefix="ssj_clicks_")
+    broot = tempfile.mkdtemp(prefix="ssj_buys_")
+    clicks = [
+        ("u1", _ts(0), "home"),
+        ("u1", _ts(10), "item"),
+        ("u2", _ts(5), "home"),
+    ]
+    buys = [
+        ("u1", _ts(3), 100),   # joins the 10:00 click (within 30 min)
+        ("u1", _ts(50), 200),  # joins NO click (>30 min after both)
+        ("u2", _ts(20), 300),  # joins u2's 10:05 click
+    ]
+    spark.createDataFrame(clicks, clicks_ddl).write.mode("append").parquet(croot)
+    spark.createDataFrame(buys, buys_ddl).write.mode("append").parquet(broot)
+
+    def build(l, r):
+        return stateful.stream_stream_interval_join(
+            l, r, "user", "ts", "ts", lower_s=0, upper_s=1800,
+            watermark="1 hour",
+        )
+
+    ls = spark.readStream.schema(clicks_ddl).parquet(croot)
+    rs = spark.readStream.schema(buys_ddl).parquet(broot)
+    q = (
+        build(ls, rs)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssj_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300) is True
+    stream_rows = sorted(
+        (r.user, r.page, r.r_amount)
+        for r in spark.sql("select * from ssj_out").collect()
+    )
+    batch = build(
+        spark.createDataFrame(clicks, clicks_ddl),
+        spark.createDataFrame(buys, buys_ddl),
+    )
+    batch_rows = sorted((r.user, r.page, r.r_amount) for r in batch.collect())
+    assert stream_rows == batch_rows
+    # the 10:03 buy follows only the 10:00 click (buys join FORWARD
+    # within [click, click+30min]); the 10:10 click has no later buy
+    assert stream_rows == [("u1", "home", 100), ("u2", "home", 300)]
+    assert all(a != 200 for _, _, a in stream_rows)  # out-of-interval buy

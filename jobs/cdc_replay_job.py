@@ -117,7 +117,26 @@ def main(argv: list[str] | None = None) -> int:
         "--rollup-cursor", default=None,
         help="changelog cursor file for --rollup (default ROOT/cursor.json)",
     )
+    ap.add_argument(
+        "--expect", action="append", default=[], metavar="NAME:ACTION:PREDICATE",
+        help="data-quality expectation (repeatable): ACTION is 'quarantine' "
+        "(violating rows dead-letter; requires --quarantine) or 'fail' "
+        "(any violation aborts the epoch before any write). PREDICATE is a "
+        "SQL boolean over the feed columns; NULL results count as "
+        "violations. Example: --expect content_present:quarantine:'content "
+        "is not null'",
+    )
     args = ap.parse_args(argv)
+
+    expectations = []
+    for spec in args.expect:
+        parts = spec.split(":", 2)
+        if len(parts) != 3:
+            print(f"--expect must be NAME:ACTION:PREDICATE, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        name, action, pred = parts
+        expectations.append((name, pred, action))
 
     from dbt_customer360_spark.session import get_spark
     from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
@@ -183,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
         keep_snapshots=args.keep_snapshots,
         lineage_grain=args.lineage_grain,
         quarantine_root=args.quarantine,
+        expectations=expectations,
         write_mode=args.write_mode,
     )
     ivm = None

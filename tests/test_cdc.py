@@ -615,3 +615,40 @@ def test_expectations_through_streaming(spark, tmp_path):
     assert {r["__reason"] for r in dl.select("__reason").distinct().collect()} == {
         "even_lsn"
     }
+
+
+def test_job_cli_expectations_flag(spark):
+    """--expect NAME:ACTION:PREDICATE through the spark-submit entry
+    point: quarantine expectations dead-letter per epoch, and a
+    malformed spec exits 2 without touching the table."""
+    import io
+    import json
+    import sys as _sys
+    from contextlib import redirect_stdout
+
+    if "/root/repo" not in _sys.path:
+        _sys.path.insert(0, "/root/repo")
+    from jobs.cdc_replay_job import main as job_main
+
+    root = tempfile.mkdtemp(prefix="cdc_cliexp_")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = job_main(
+            ["--generate", "20000", "--table", f"{root}/repos",
+             "--quarantine", f"{root}/dl", "--batches", "2", "--buckets", "4",
+             "--expect", "even_lsn:quarantine:lsn % 2 = 0"]
+        )
+    assert rc == 0
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    dl = LakeTable(spark, f"{root}/dl", buckets=1).read()
+    assert dl.count() > 0
+    assert {r["__reason"] for r in dl.select("__reason").distinct().collect()} == {
+        "even_lsn"
+    }
+    live = LakeTable(spark, f"{root}/repos", buckets=4).read()
+    assert live.filter(F.col("__max_lsn") % 2 != 0).count() == 0
+    # malformed spec: exit 2, no table created
+    rc2 = job_main(["--table", f"{root}/other", "--expect", "nocolon"])
+    assert rc2 == 2
+    assert not LakeTable(spark, f"{root}/other", buckets=4).exists()

@@ -312,3 +312,62 @@ def quantile_sketch_sql(
         f"with sample as (select {value_col} from {table} "
         f"where {keep} and {value_col} is not null)\n    {sels}"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus caps / exact-k samples
+# ---------------------------------------------------------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    seed: str = "cap42",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by hash order — the
+    per-domain document cap every web-corpus recipe applies (CCNet /
+    RefinedWeb bound docs-per-domain so hot hosts can't dominate the
+    training mix). Hash order makes the survivors (a) deterministic
+    and re-run-stable, (b) an unbiased uniform choice within the
+    group, and (c) independent of ingestion order — unlike "first k
+    seen", which biases toward crawl order.
+
+    One shuffle (the per-group rank window). Skew note: a pathological
+    group sorts in one task; at 100 TB pre-cap obvious whales with a
+    coarse filter, or raise the window's task memory — the output side
+    is bounded at k·|groups| regardless.
+    """
+    h = uint60(_tag(f"{seed}:", F.col(id_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: str = "sk42",
+) -> DataFrame:
+    """EXACTLY ``k`` rows sampled uniformly (reservoir-sample
+    semantics, deterministic): global ascending order by the id's
+    uniform hash, take the first ``k``. Spark plans order-by-limit as
+    TakeOrderedAndProject — each partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge, so the
+    corpus never globally sorts and never shuffles. Deterministic
+    ties-free order (the hash is injective on distinct ids up to
+    2^-60 collisions; id breaks the remaining ties).
+    """
+    h = uint60(_tag(f"{seed}:", F.col(id_col)))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__h")
+    )

@@ -3065,3 +3065,45 @@ def dbt_schema_tests(spark, sf):
         "lineitem": {"unique": [["l_orderkey", "l_linenumber"]]},
     }
     return dqtests.run_schema_tests(spark, tables, spec)
+
+
+_CAP_ORACLE = """
+    select doc_id, lang from (
+      select doc_id, lang,
+             row_number() over (
+               partition by lang
+               order by ('0x' || substr(md5('cap42:' || cast(doc_id as varchar)), 1, 15))::ubigint,
+                        doc_id) as rn
+      from documents)
+    where rn <= 50
+"""
+
+
+@extra_query("cap_per_group_docs", _CAP_ORACLE)
+def cap_per_group_docs(spark, sf):
+    """Per-group corpus cap (≤50 docs per language, hash-ordered) —
+    the docs-per-domain bound every web-corpus recipe applies so hot
+    hosts can't dominate the training mix; hash order makes the
+    survivors deterministic and unbiased rather than crawl-ordered.
+    One window shuffle, output bounded at k·|groups|."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return sketches.cap_per_group(d, ["lang"], "doc_id", 50)
+
+
+_SAMPLEK_ORACLE = """
+    select doc_id from documents
+    order by ('0x' || substr(md5('sk42:' || cast(doc_id as varchar)), 1, 15))::ubigint,
+             doc_id
+    limit 100
+"""
+
+
+@extra_query("sample_exact_k_docs", _SAMPLEK_ORACLE)
+def sample_exact_k_docs(spark, sf):
+    """Exactly-k uniform sample (deterministic reservoir semantics):
+    global ascending hash order, first 100 — planned as
+    TakeOrderedAndProject (per-partition local top-k, only k rows per
+    partition reach the merge; the corpus never globally sorts,
+    pinned in tests/test_sketches.py)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    return sketches.sample_exact_k(d, "doc_id", 100)

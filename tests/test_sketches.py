@@ -152,3 +152,39 @@ def test_quantile_sketch_filter_before_exchange(spark):
     plan = _plan(sketches.quantile_sketch(df, "id", "x", [0.5]))
     # exactly one exchange (the sample's window); the filter is below it
     assert plan.count("Exchange") == 1
+
+
+def test_cap_per_group_bound_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(3)],
+        "grp string, id bigint",
+    )
+    out = sketches.cap_per_group(df, ["grp"], "id", 10)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 3}  # small groups pass through whole
+    # re-run determinism
+    a = sorted((r.grp, r.id) for r in out.collect())
+    b = sorted((r.grp, r.id) for r in sketches.cap_per_group(df, ["grp"], "id", 10).collect())
+    assert a == b
+    # survivors are hash-chosen, not the first k ids
+    assert {r.id for r in out.collect() if r.grp == "a"} != set(range(10))
+
+
+def test_cap_per_group_subset_stable(spark):
+    """Removing non-survivors never changes the survivor set only if
+    hash ORDER is preserved among remaining rows — the cap re-ranks, so
+    survivors of the subset are a superset-of-rank property: the
+    original survivors all still survive when only losers are removed."""
+    df = spark.createDataFrame([("a", i) for i in range(50)], "grp string, id bigint")
+    winners = {r.id for r in sketches.cap_per_group(df, ["grp"], "id", 5).collect()}
+    sub = df.filter(F.col("id").isin(list(winners) + [7, 13]))
+    again = {r.id for r in sketches.cap_per_group(sub, ["grp"], "id", 5).collect()}
+    assert again == winners  # hash order is global: winners stay winners
+
+
+def test_sample_exact_k_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i,) for i in range(10000)], "id bigint")
+    out = sketches.sample_exact_k(df, "id", 25)
+    assert out.count() == 25
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort

@@ -65,17 +65,33 @@ class LakeTable:
         root: str,
         buckets: int = 16,
         stats_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ):
         """``stats_cols``: columns whose per-file min/max are recorded
         in the manifest at commit time (read straight off the parquet
         footers — no Spark job) and used by :meth:`read_where` to skip
         files a range predicate cannot match — Iceberg-manifest-style
         data skipping. Sticky: recorded on the first commit that sees
-        it and honored by every later writer of the table."""
+        it and honored by every later writer of the table.
+
+        ``bucket_cols``: bucket the physical layout on a SUBSET of the
+        merge keys (Iceberg's partition-spec-vs-identifier-fields
+        split). Default None buckets on the full merge key. Bucketing
+        a (repo, path)-keyed table on [repo] co-locates every path of
+        a repo in one bucket: joins against repo-keyed dims are
+        co-partitioned, and :meth:`read_prefix` serves whole-repo
+        lookups from ONE bucket. The one-shuffle merge is preserved —
+        HashPartitioning on a key subset still satisfies the merge
+        groupBy's clustering — but bucket skew now follows the prefix
+        distribution: a whale repo is a whale bucket, so keep the full
+        key (default) when no access pattern needs prefix locality.
+        Sticky like ``buckets``: recorded at creation, honored by
+        every later writer; change it with :meth:`rebucket`."""
         self.spark = spark
         self.root = root
         self.buckets = buckets
         self.stats_cols = stats_cols
+        self.bucket_cols = bucket_cols
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
@@ -120,6 +136,9 @@ class LakeTable:
                 # reads the wrong files and a merge can DUPLICATE a key
                 # (one row per layout). Readers honor the manifest.
                 "buckets": self.buckets,
+                # bucket on a key subset (None = the full merge key);
+                # part of the physical layout, sticky like "buckets"
+                "bucket_cols": self.bucket_cols,
             }
         with open(os.path.join(self.root, "snapshots", f"{sid}.json")) as f:
             return json.load(f)
@@ -295,16 +314,24 @@ class LakeTable:
     def committed_batch_ids(self) -> set[str]:
         return set(self._read_manifest()["batch_ids"])
 
+    def _layout_cols(self, manifest: dict, keys: list[str]) -> list[str]:
+        """The columns the physical bucket layout hashes — the
+        manifest's recorded ``bucket_cols`` subset, else the full
+        merge key."""
+        return list(manifest.get("bucket_cols") or keys)
+
     def _bucket_expr(self, keys: list[str], manifest: dict) -> F.Column:
-        """bucket id for a row, per the manifest's recorded hash family.
-        murmur3 (F.hash, seed 42) is bit-identical to the hash inside
-        Spark's HashPartitioning, so pmod(hash(keys), buckets) equals
-        the partition id of repartition(buckets, *keys) — the property
-        the one-shuffle merge write relies on."""
+        """bucket id for a row, per the manifest's recorded hash family
+        and layout columns. murmur3 (F.hash, seed 42) is bit-identical
+        to the hash inside Spark's HashPartitioning, so
+        pmod(hash(layout_cols), buckets) equals the partition id of
+        repartition(buckets, *layout_cols) — the property the
+        one-shuffle merge write relies on."""
+        bcols = self._layout_cols(manifest, keys)
         if manifest.get("bucket_fn", "xxhash64") == "murmur3":
-            h = F.hash(*[F.col(k) for k in keys])
+            h = F.hash(*[F.col(k) for k in bcols])
         else:
-            h = F.xxhash64(*[F.col(k) for k in keys])
+            h = F.xxhash64(*[F.col(k) for k in bcols])
         return F.pmod(h, F.lit(manifest.get("buckets", self.buckets)))
 
     # --- reads ------------------------------------------------------------------
@@ -407,6 +434,44 @@ class LakeTable:
         pred = None
         for k in keys:
             c = F.col(k).eqNullSafe(F.lit(key_values[k]))
+            pred = c if pred is None else (pred & c)
+        base = self._read_paths(m, m["files"].get(bucket, [])).filter(pred)
+        delta_rel = (m.get("delta_files") or {}).get(bucket, [])
+        if not delta_rel:
+            return base
+        delta = self._read_paths(m, delta_rel).filter(pred)
+        return self._mor_resolve(m, base, delta)
+
+    def read_prefix(
+        self, prefix_values: dict, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """All rows whose layout-prefix columns equal ``prefix_values``
+        — e.g. every path of one repo on a table bucketed with
+        ``bucket_cols=['repo']``. The whole prefix lives in ONE bucket
+        (its id is a pure function of the prefix columns), so the scan
+        is O(table / buckets) like :meth:`read_point`, without needing
+        the full merge key. Requires the table's ``bucket_cols`` to
+        exactly match the prefix keys: on a full-key layout the prefix
+        does not determine a bucket, and a silent full scan here would
+        hide the missing layout — refuse instead. Pending MoR deltas
+        resolve LWW, prefix-filtered before the aggregation."""
+        m = self._read_manifest(snapshot_id)
+        keys = m.get("keys") or []
+        bcols = self._layout_cols(m, keys)
+        if not keys:
+            raise ValueError("read_prefix requires a merged table (no keys)")
+        if set(prefix_values) != set(bcols):
+            raise ValueError(
+                f"read_prefix needs exactly the layout columns {bcols} "
+                f"(table bucket_cols), got {sorted(prefix_values)}"
+            )
+        types = dict(m["schema"])
+        ddl = ", ".join(f"`{k}` {types[k]}" for k in bcols)
+        probe = local_df(self.spark, [tuple(prefix_values[k] for k in bcols)], ddl)
+        bucket = str(probe.select(self._bucket_expr(keys, m)).first()[0])
+        pred = None
+        for k in bcols:
+            c = F.col(k).eqNullSafe(F.lit(prefix_values[k]))
             pred = c if pred is None else (pred & c)
         base = self._read_paths(m, m["files"].get(bucket, [])).filter(pred)
         delta_rel = (m.get("delta_files") or {}).get(bucket, [])
@@ -602,7 +667,7 @@ class LakeTable:
         n_buckets = manifest.get("buckets", self.buckets)
         if not pre_partitioned:
             if manifest.get("bucket_fn", "xxhash64") == "murmur3":
-                df = df.repartition(n_buckets, *keys)
+                df = df.repartition(n_buckets, *self._layout_cols(manifest, keys))
             else:
                 df = df.repartition(n_buckets, "__bucket")
         sort_by = manifest.get("sort_order") or []
@@ -863,7 +928,8 @@ class LakeTable:
             pre_part = m.get("bucket_fn", "xxhash64") == "murmur3"
             if pre_part:
                 batch = batch.repartition(
-                    m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+                    m.get("buckets", self.buckets),
+                    *[F.col(k) for k in self._layout_cols(m, keys)],
                 )
             # within-batch dedup only — the target is never read; stale
             # replays below a key's stored LSN are suppressed at read
@@ -939,7 +1005,8 @@ class LakeTable:
                 # a stream with one pathological hot key should use
                 # ``salt``, which keeps the combine-first shape.
                 unioned = unioned.repartition(
-                    m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+                    m.get("buckets", self.buckets),
+                    *[F.col(k) for k in self._layout_cols(m, keys)],
                 )
             merged = (
                 unioned.groupBy(*[F.col(k) for k in keys])
@@ -1036,7 +1103,8 @@ class LakeTable:
         pre_part = m.get("bucket_fn", "xxhash64") == "murmur3"
         if pre_part:
             unioned = unioned.repartition(
-                m.get("buckets", self.buckets), *[F.col(k) for k in keys]
+                m.get("buckets", self.buckets),
+                *[F.col(k) for k in self._layout_cols(m, keys)],
             )
         combined = (
             unioned.groupBy(*[F.col(k) for k in keys])
@@ -1202,22 +1270,43 @@ class LakeTable:
                 "wrong buckets. Re-layout explicitly with compact(keys=...) or "
                 "rebucket(new_buckets, keys=...)."
             )
+        bcols = m.get("bucket_cols") or self.bucket_cols
+        if bcols and not set(bcols) <= set(keys):
+            raise ValueError(
+                f"bucket_cols {list(bcols)} must be a subset of the merge "
+                f"keys {list(keys)}; re-layout with rebucket(..., "
+                "bucket_cols=...)"
+            )
 
     def bucket_count(self, snapshot_id: int | None = None) -> int:
         """The table's COMMITTED bucket count (manifests created before
         the field fall back to the constructor value)."""
         return self._read_manifest(snapshot_id).get("buckets", self.buckets)
 
-    def rebucket(self, new_buckets: int, keys: list[str] | None = None) -> int:
+    def rebucket(
+        self,
+        new_buckets: int,
+        keys: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
+    ) -> int:
         """Change the bucket layout — the operational move when a table
         outgrows its create-time count (a 100 TB table wants a bucket
-        ~ a few GB). One full rewrite under the new count; the recorded
-        count and the rewritten file lists change in the SAME atomic
-        commit, so concurrent writers either see the old layout whole
-        or the new one (a racer committing against the old manifest
-        gets CommitConflict and re-reads)."""
+        ~ a few GB), or when an access pattern wants a different
+        ``bucket_cols`` prefix. One full rewrite under the new layout;
+        the recorded count/columns and the rewritten file lists change
+        in the SAME atomic commit, so concurrent writers either see
+        the old layout whole or the new one (a racer committing
+        against the old manifest gets CommitConflict and re-reads)."""
         m = self._read_manifest()
         keys = keys or m.get("keys") or [m["schema"][0][0]]
+        if bucket_cols is not None:
+            if not set(bucket_cols) <= set(keys):
+                raise ValueError(
+                    f"bucket_cols {bucket_cols} must be a subset of keys {keys}"
+                )
+            m["bucket_cols"] = list(bucket_cols)
+        elif m.get("bucket_cols") and not set(m["bucket_cols"]) <= set(keys):
+            m["bucket_cols"] = None  # old prefix no longer applies
         df = self.read()
         m["buckets"] = new_buckets
         m["files"] = self._write_bucket_files(df, keys, m)

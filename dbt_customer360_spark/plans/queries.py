@@ -3107,3 +3107,36 @@ def sample_exact_k_docs(spark, sf):
     pinned in tests/test_sketches.py)."""
     d = _t(spark, sf, "documents").select("doc_id")
     return sketches.sample_exact_k(d, "doc_id", 100)
+
+
+@extra_query(
+    "lake_prefix_scan",
+    """
+    select o_custkey, o_orderkey, o_totalprice, cast(1 as bigint) as lsn
+    from orders
+    where o_custkey = (select min(o_custkey) from orders)
+    """,
+)
+def lake_prefix_scan(spark, sf):
+    """Key-subset bucket layout (bucket_cols=['o_custkey'] on an
+    (o_custkey, o_orderkey)-keyed table): every order of a customer
+    lives in ONE bucket, so read_prefix serves the whole-customer
+    lookup from a single bucket dir (inputFiles ⊂ table pinned in
+    tests/test_bucket_cols.py). Oracle = the plain SQL filter."""
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.lit(1).cast("bigint").alias("lsn"),
+    )
+    k = o.agg(F.min("o_custkey")).first()[0]
+    t = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="prefixscan_q_"),
+        buckets=8,
+        bucket_cols=["o_custkey"],
+    )
+    t.merge_lsn(o, ["o_custkey", "o_orderkey"], lsn_col="lsn", batch_id="base")
+    return t.read_prefix({"o_custkey": k}).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "lsn"
+    )

@@ -42,6 +42,7 @@ class CDCApplier:
         table_root: str,
         lineage_root: str | None = None,
         buckets: int = 16,
+        bucket_cols: list[str] | None = None,
         assume_dense_batches: bool = False,
         hot_key_salt: int | None = None,
         maintenance_every: int | None = None,
@@ -112,6 +113,10 @@ class CDCApplier:
         ride the lineage stats (``violations``) from the same single
         validation job the quarantine path already pays for.
 
+        ``bucket_cols``: bucket the repos table on a key-subset prefix
+        (e.g. ['repo']) for prefix locality — see LakeTable.bucket_cols;
+        the one-shuffle merge and exactly-once semantics are unchanged.
+
         ``write_mode``: 'cow' (default) rewrites touched buckets per
         epoch (read-optimized); 'mor' appends bucket-aligned delta
         files instead (merge-on-read, LakeTable.merge_lsn(mor=True)) —
@@ -123,7 +128,9 @@ class CDCApplier:
         if write_mode not in ("cow", "mor"):
             raise ValueError(f"write_mode must be 'cow' or 'mor': {write_mode!r}")
         self.spark = spark
-        self.table = LakeTable(spark, table_root, buckets=buckets)
+        self.table = LakeTable(
+            spark, table_root, buckets=buckets, bucket_cols=bucket_cols
+        )
         self.assume_dense_batches = assume_dense_batches
         self.hot_key_salt = hot_key_salt
         self.lineage = (

@@ -3140,3 +3140,69 @@ def lake_prefix_scan(spark, sf):
     return t.read_prefix({"o_custkey": k}).select(
         "o_custkey", "o_orderkey", "o_totalprice", "lsn"
     )
+
+
+_JOINVIEW_ORACLE = """
+    with v1 as (
+      select o_orderkey, o_custkey, o_totalprice
+      from orders where o_orderkey % 3 <> 0),
+    b as (
+      select o_orderkey, o_custkey, o_totalprice + 1 as o_totalprice,
+             (o_orderkey % 7 = 0) as is_del
+      from orders where o_orderkey % 5 = 0),
+    final_fact as (
+      select v1.o_orderkey, v1.o_custkey, v1.o_totalprice
+      from v1 left join b using (o_orderkey) where b.o_orderkey is null
+      union all
+      select o_orderkey, o_custkey, o_totalprice from b where not is_del),
+    final_dim as (
+      select c_custkey,
+             case when c_custkey % 4 = 0 then 'VIP' else c_mktsegment end
+               as c_mktsegment
+      from customer)
+    select f.o_custkey, f.o_orderkey, f.o_totalprice, d.c_mktsegment
+    from final_fact f join final_dim d on d.c_custkey = f.o_custkey
+"""
+
+
+@extra_query("ivm_join_view_orders", _JOINVIEW_ORACLE)
+def ivm_join_view_orders(spark, sf):
+    """Incremental JOIN view (lake/joinview.py): a materialized
+    orders ⋈ customer enrichment maintained from BOTH tables' CDC
+    changelogs — fact changes recompute their own keys, dim changes
+    recompute only the fact rows in the changed keys' buckets (the
+    fact is bucketed on the join key), deletes on either side retract.
+    Refreshed after each of two interleaved commit rounds; the oracle
+    recomputes the FINAL join from scratch, so hash equality proves
+    the delta-join converges to the declarative answer."""
+    from dbt_customer360_spark.lake.joinview import IncrementalJoinView
+    from dbt_customer360_spark.lake.table import LakeTable
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    root = tempfile.mkdtemp(prefix="jv_q_")
+    fact = LakeTable(spark, f"{root}/fact", buckets=8, bucket_cols=["o_custkey"])
+    dim = LakeTable(spark, f"{root}/dim", buckets=4)
+    view = LakeTable(spark, f"{root}/view", buckets=8)
+    jv = IncrementalJoinView(
+        fact, dim, view, ["o_custkey", "o_orderkey"], "o_custkey", "c_custkey",
+        ["c_mktsegment"], f"{root}/cursors",
+    )
+    fkeys = ["o_custkey", "o_orderkey"]
+    fact.merge(o.filter(F.col("o_orderkey") % 3 != 0), fkeys, batch_id="f0")
+    dim.merge(c, ["c_custkey"], batch_id="d0")
+    jv.refresh()
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") + 1).alias("o_totalprice"),
+        (F.col("o_orderkey") % 7 == 0).alias("is_del"),
+    )
+    fact.merge(upd, fkeys, batch_id="f1", delete_col="is_del")
+    dim.merge(
+        c.filter(F.col("c_custkey") % 4 == 0).select(
+            "c_custkey", F.lit("VIP").alias("c_mktsegment")
+        ),
+        ["c_custkey"], batch_id="d1",
+    )
+    jv.refresh()
+    return jv.read().select("o_custkey", "o_orderkey", "o_totalprice", "c_mktsegment")

@@ -1,0 +1,137 @@
+"""Incremental join view (lake/joinview.py): initial sync, fact-side
+and dim-side incremental refreshes, retractions from both sides,
+bucket-pruned dim-driven recompute, and convergence to the from-scratch
+join after every step."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbt_customer360_spark.lake.joinview import IncrementalJoinView
+from dbt_customer360_spark.lake.table import LakeTable
+
+FACT_DDL = "ok bigint, ck bigint, amount bigint"
+DIM_DDL = "ck bigint, segment string"
+
+
+def _setup(spark, bucket_cols=None):
+    root = tempfile.mkdtemp(prefix="jv_")
+    fact = LakeTable(spark, f"{root}/fact", buckets=8, bucket_cols=bucket_cols)
+    dim = LakeTable(spark, f"{root}/dim", buckets=2)
+    view = LakeTable(spark, f"{root}/view", buckets=8)
+    # prefix-bucketing the fact on its fk requires the fk IN the merge
+    # key (else an update could move a row across buckets) — the same
+    # composite shape as the CDC repos table's (repo, path)
+    jv = IncrementalJoinView(
+        fact, dim, view, ["ck", "ok"], "ck", "ck", ["segment"], f"{root}/cursors"
+    )
+    return fact, dim, view, jv
+
+
+def _fdf(spark, rows):
+    return spark.createDataFrame(rows, FACT_DDL)
+
+
+def _ddf(spark, rows):
+    return spark.createDataFrame(rows, DIM_DDL)
+
+
+def _expect(fact, dim):
+    """From-scratch join the view must converge to after refresh."""
+    f = fact.read()
+    d = dim.read().select(F.col("ck"), "segment")
+    return sorted(
+        (r.ok, r.ck, r.amount, r.segment)
+        for r in f.join(d, "ck", "inner").collect()
+    )
+
+
+def _got(view):
+    return sorted(
+        (r.ok, r.ck, r.amount, r.segment) for r in view.read().collect()
+    )
+
+
+def test_join_view_initial_and_fact_updates(spark):
+    fact, dim, view, jv = _setup(spark)
+    dim.merge(_ddf(spark, [(1, "gold"), (2, "basic")]), ["ck"], batch_id="d0")
+    fact.merge(
+        _fdf(spark, [(10, 1, 100), (11, 2, 50), (12, 9, 7)]), ["ck", "ok"], batch_id="f0"
+    )
+    jv.refresh()
+    # ok=12 references no dim key -> excluded (inner join)
+    assert _got(view) == _expect(fact, dim)
+    assert (10, 1, 100, "gold") in _got(view) and len(_got(view)) == 2
+    # fact update + delete + insert, one commit
+    batch = spark.createDataFrame(
+        [(10, 1, 999, False), (11, 2, 0, True), (13, 2, 5, False)],
+        FACT_DDL + ", del boolean",
+    )
+    fact.merge(batch, ["ck", "ok"], batch_id="f1", delete_col="del")
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+    got = dict(((r[0]), r[3]) for r in _got(view))
+    assert 11 not in got and got[13] == "basic"
+    # caught up: no-op
+    assert jv.refresh() is None
+
+
+def test_join_view_dim_updates_and_deletes(spark):
+    fact, dim, view, jv = _setup(spark, bucket_cols=["ck"])
+    dim.merge(_ddf(spark, [(1, "gold"), (2, "basic")]), ["ck"], batch_id="d0")
+    fact.merge(
+        _fdf(spark, [(i, 1 + i % 2, 10 * i) for i in range(20)]),
+        ["ck", "ok"],
+        batch_id="f0",
+    )
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+    # dim payload change: every ck=1 view row re-enriches
+    dim.merge(_ddf(spark, [(1, "platinum")]), ["ck"], batch_id="d1")
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+    assert {r[3] for r in _got(view) if r[1] == 1} == {"platinum"}
+    # dim delete: ck=2 view rows retract; dim insert: ck=9 rows appear
+    dim.merge(
+        spark.createDataFrame([(2, None, True), (9, "new", False)],
+                              DIM_DDL + ", del boolean"),
+        ["ck"], batch_id="d2", delete_col="del",
+    )
+    fact.merge(_fdf(spark, [(100, 9, 1)]), ["ck", "ok"], batch_id="f1")
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+    assert not [r for r in _got(view) if r[1] == 2]
+    assert (100, 9, 1, "new") in _got(view)
+
+
+def test_dim_driven_recompute_is_bucket_pruned(spark):
+    """With fact bucket_cols=['ck'], the dim-driven recompute reads
+    only the changed keys' buckets."""
+    fact, dim, view, jv = _setup(spark, bucket_cols=["ck"])
+    dim.merge(_ddf(spark, [(k, f"s{k}") for k in range(8)]), ["ck"], batch_id="d0")
+    fact.merge(
+        _fdf(spark, [(i, i % 8, i) for i in range(160)]), ["ck", "ok"], batch_id="f0"
+    )
+    jv.refresh()
+    k = spark.createDataFrame([(3,)], "ck bigint")
+    rows = jv._fact_rows_for_dim_keys(fact.current_snapshot_id(), k)
+    files = set(rows.inputFiles())
+    assert files and files < set(fact.read().inputFiles())
+    assert {r.ck for r in rows.collect()} == {3}
+
+
+def test_join_view_exactly_once_batch_id(spark):
+    """Re-delivering the SAME span (crash before cursor commit) is a
+    no-op via the view's batch ledger."""
+    fact, dim, view, jv = _setup(spark)
+    dim.merge(_ddf(spark, [(1, "gold")]), ["ck"], batch_id="d0")
+    fact.merge(_fdf(spark, [(10, 1, 100)]), ["ck", "ok"], batch_id="f0")
+    # simulate crash: refresh, then rewind the cursors and refresh again
+    jv.refresh()
+    state = _got(view)
+    snap = view.current_snapshot_id()
+    jv.fact_reader.commit(0)
+    jv.dim_reader.commit(0)
+    jv.refresh()  # same span 0->1 on both sides -> same batch id -> no-op
+    assert view.current_snapshot_id() == snap
+    assert _got(view) == state

@@ -135,3 +135,40 @@ def test_join_view_exactly_once_batch_id(spark):
     jv.refresh()  # same span 0->1 on both sides -> same batch id -> no-op
     assert view.current_snapshot_id() == snap
     assert _got(view) == state
+
+
+def test_join_view_streaming_via_applier(spark):
+    """The CDCApplier's per-epoch rollup hook drives the join view too
+    (duck-typed refresh()): a replayed CDC stream keeps a repos ⋈
+    repo-dim enrichment fresh after every epoch, with tombstone flips
+    retracting through the fact_row_filter."""
+    import tempfile as tf
+
+    from dbt_customer360_spark.sources.cdc import generate_change_events
+    from dbt_customer360_spark.streaming.apply import CDCApplier, replay_batch
+
+    root = tf.mkdtemp(prefix="jv_stream_")
+    ap = CDCApplier(spark, f"{root}/repos", buckets=8, bucket_cols=["repo"])
+    dim = LakeTable(spark, f"{root}/dim", buckets=2)
+    view = LakeTable(spark, f"{root}/view", buckets=8)
+    events = generate_change_events(spark, n_events=4000, n_repos=10, paths_per_repo=6)
+    repos = [r.repo for r in events.select("repo").distinct().collect()]
+    dim.merge(
+        spark.createDataFrame([(r, len(r)) for r in repos], "repo string, stars int"),
+        ["repo"],
+        batch_id="d0",
+    )
+    jv = IncrementalJoinView(
+        ap.table, dim, view, ["repo", "path"], "repo", "repo", ["stars"],
+        f"{root}/cursors",
+        fact_row_filter="not coalesce(__deleted, false)",
+    )
+    ap.rollup = jv  # duck-typed: the applier refreshes after each epoch
+    replay_batch(ap, events, n_batches=4)
+    live = ap.table.read().filter(~F.col("__deleted"))
+    expect = sorted(
+        (r.repo, r.path, r.stars)
+        for r in live.join(dim.read(), "repo").select("repo", "path", "stars").collect()
+    )
+    got = sorted((r.repo, r.path, r.stars) for r in view.read().collect())
+    assert got == expect and len(got) > 0

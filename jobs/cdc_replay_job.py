@@ -118,6 +118,21 @@ def main(argv: list[str] | None = None) -> int:
         help="changelog cursor file for --rollup (default ROOT/cursor.json)",
     )
     ap.add_argument(
+        "--join-view", metavar="ROOT", default=None,
+        help="maintain a materialized repos ⋈ dim enrichment at ROOT "
+        "incrementally from both tables' changelogs after each epoch "
+        "(lake/joinview.py); requires --join-dim",
+    )
+    ap.add_argument(
+        "--join-dim", metavar="DIM_ROOT", default=None,
+        help="repo-keyed dim lake table joined by --join-view",
+    )
+    ap.add_argument(
+        "--join-payload", default=None,
+        help="comma-separated dim columns carried onto the view "
+        "(default: every dim column except the key)",
+    )
+    ap.add_argument(
         "--expect", action="append", default=[], metavar="NAME:ACTION:PREDICATE",
         help="data-quality expectation (repeatable): ACTION is 'quarantine' "
         "(violating rows dead-letter; requires --quarantine) or 'fail' "
@@ -226,6 +241,43 @@ def main(argv: list[str] | None = None) -> int:
         # per-epoch freshness in BOTH modes: the applier refreshes the
         # rollup after each applied batch, before its maintenance tick
         applier.rollup = ivm
+    if args.join_view:
+        if not args.join_dim:
+            print("--join-view requires --join-dim", file=sys.stderr)
+            return 2
+        from dbt_customer360_spark.lake.joinview import IncrementalJoinView
+        from dbt_customer360_spark.lake.table import LakeTable
+
+        dim_table = LakeTable(spark, args.join_dim, buckets=4)
+        if args.join_payload:
+            payload = [c.strip() for c in args.join_payload.split(",") if c.strip()]
+        else:
+            payload = [
+                n for n, _ in dim_table._read_manifest()["schema"] if n != "repo"
+            ]
+        jv = IncrementalJoinView(
+            applier.table,
+            dim_table,
+            LakeTable(spark, args.join_view, buckets=args.buckets),
+            ["repo", "path"],
+            "repo",
+            "repo",
+            payload,
+            os.path.join(args.join_view, "cursors"),
+            fact_row_filter="not coalesce(__deleted, false)",
+        )
+        if applier.rollup is not None:
+            # chain both per-epoch maintainers behind one hook
+            prev = applier.rollup
+
+            class _Both:
+                def refresh(self_inner):
+                    prev.refresh()
+                    jv.refresh()
+
+            applier.rollup = _Both()
+        else:
+            applier.rollup = jv
 
     t0 = time.time()
     if args.mode == "stream":

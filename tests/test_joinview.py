@@ -172,3 +172,46 @@ def test_join_view_streaming_via_applier(spark):
     )
     got = sorted((r.repo, r.path, r.stars) for r in view.read().collect())
     assert got == expect and len(got) > 0
+
+
+def test_job_cli_join_view(spark):
+    """--join-view through the spark-submit entry point: the replayed
+    stream's enrichment view matches the from-scratch join of the
+    final states; --join-view without --join-dim exits 2."""
+    import io
+    import sys as _sys
+    import tempfile as tf
+    from contextlib import redirect_stdout
+
+    if "/root/repo" not in _sys.path:
+        _sys.path.insert(0, "/root/repo")
+    from jobs.cdc_replay_job import main as job_main
+
+    root = tf.mkdtemp(prefix="jv_cli_")
+    dim = LakeTable(spark, f"{root}/dim", buckets=4)
+    dim.merge(
+        spark.createDataFrame(
+            [(f"org{i % 7}/repo{i}", i % 3) for i in range(64)],
+            "repo string, tier int",
+        ),
+        ["repo"],
+        batch_id="d0",
+    )
+    assert job_main(["--table", f"{root}/repos", "--join-view", f"{root}/view"]) == 2
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = job_main(
+            ["--generate", "20000", "--table", f"{root}/repos", "--buckets", "8",
+             "--batches", "2", "--join-view", f"{root}/view",
+             "--join-dim", f"{root}/dim"]
+        )
+    assert rc == 0
+    repos = LakeTable(spark, f"{root}/repos", buckets=8)
+    live = repos.read().filter(~F.col("__deleted"))
+    expect = sorted(
+        (r.repo, r.path, r.tier)
+        for r in live.join(dim.read(), "repo").select("repo", "path", "tier").collect()
+    )
+    view = LakeTable(spark, f"{root}/view", buckets=8)
+    got = sorted((r.repo, r.path, r.tier) for r in view.read().collect())
+    assert got == expect and got

@@ -215,3 +215,61 @@ def test_job_cli_join_view(spark):
     view = LakeTable(spark, f"{root}/view", buckets=8)
     got = sorted((r.repo, r.path, r.tier) for r in view.read().collect())
     assert got == expect and got
+
+
+def test_join_view_random_interleavings_converge(spark):
+    """Seeded random interleavings of fact/dim upserts+deletes, with
+    refreshes sometimes deferred across multiple commits (multi-span
+    changelogs): after every refresh the view equals the from-scratch
+    join. This is the property that makes delta-join IVM trustworthy —
+    convergence independent of commit order and refresh cadence."""
+    import random
+
+    rng = random.Random(42)
+    fact, dim, view, jv = _setup(spark, bucket_cols=["ck"])
+    dim.merge(_ddf(spark, [(k, f"s{k}") for k in range(5)]), ["ck"], batch_id="d_init")
+    fact.merge(
+        _fdf(spark, [(i, i % 5, i) for i in range(30)]), ["ck", "ok"], batch_id="f_init"
+    )
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+    live_oks = set(range(30))
+    next_ok = 30
+    for rnd in range(6):
+        if rng.random() < 0.7:  # fact commit: mixed upsert/insert/delete
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                kind = rng.random()
+                if kind < 0.4 and live_oks:  # update existing
+                    ok = rng.choice(sorted(live_oks))
+                    rows.append((ok, ok % 5, rng.randint(0, 999), False))
+                elif kind < 0.7:  # insert new (possibly dangling fk 7)
+                    rows.append((next_ok, rng.choice([0, 1, 2, 7]), next_ok, False))
+                    live_oks.add(next_ok)
+                    next_ok += 1
+                elif live_oks:  # delete
+                    ok = rng.choice(sorted(live_oks))
+                    rows.append((ok, ok % 5, 0, True))
+                    live_oks.discard(ok)
+            if rows:
+                # one row per key per batch: merge() is not LSN-ordered
+                uniq = {r[0]: r for r in rows}
+                fact.merge(
+                    spark.createDataFrame(list(uniq.values()), FACT_DDL + ", del boolean"),
+                    ["ck", "ok"], batch_id=f"f{rnd}", delete_col="del",
+                )
+        if rng.random() < 0.6:  # dim commit: re-segment or delete/revive a key
+            k = rng.randint(0, 7)
+            delete = rng.random() < 0.3
+            dim.merge(
+                spark.createDataFrame(
+                    [(k, None if delete else f"s{k}v{rnd}", delete)],
+                    DIM_DDL + ", del boolean",
+                ),
+                ["ck"], batch_id=f"d{rnd}", delete_col="del",
+            )
+        if rng.random() < 0.7:  # sometimes defer the refresh a round
+            jv.refresh()
+            assert _got(view) == _expect(fact, dim), f"diverged at round {rnd}"
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)

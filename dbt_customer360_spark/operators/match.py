@@ -78,12 +78,22 @@ def candidate_pairs(
     Hot keys (> max_key_frequency occurrences on a side) are removed
     before the join via one aggregation — the frequent-key cutoff that
     bounds the candidate-pair explosion (SURVEY.md §7.3).
+
+    Aggregations run on an integer rule *index* (rule names sorted, so
+    min(index) picks the same rule as min(name)) and the name is
+    re-attached after the final dedup: min over a StringType forces
+    Spark into Sort+SortAggregate at every level, while the int keeps
+    every aggregate a HashAggregate and narrows the pair shuffle.
     """
+    # sorted so min(idx) over the lattice == min(name); the name is
+    # restored from this array after the last aggregation
+    rule_names = sorted({r.name for r in rules})
+    rule_idx = {n: i for i, n in enumerate(rule_names)}
 
     def keyed(df: DataFrame, id_col: str, side_keys) -> DataFrame:
         entries = [
             F.struct(
-                F.lit(r.name).alias("rule"),
+                F.lit(rule_idx[r.name]).alias("rule"),
                 F.concat_ws("\x01", F.lit(r.group_tag), F.col(k)).alias("k"),
                 F.col(k).alias("raw"),
             )
@@ -106,13 +116,28 @@ def candidate_pairs(
     )
     lk = _cap_hot_keys(lk, "__k", "__id", max_key_frequency)
     rk = _cap_hot_keys(rk, "__k", "__id", max_key_frequency)
+    # The join fans out quadratically per key bucket while its INPUTS are
+    # tiny, so AQE coalesces the probe side to a handful of partitions and
+    # the whole expansion runs nearly single-task. Round-robin the probe
+    # side to the cluster's parallelism first: output per probe row is
+    # uniform (= build-side bucket size), so this is also skew-proof.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    lk = lk.repartition(par)
     pairs = lk.join(
         rk.select(F.col("__id").alias("__rid"), F.col("__k")), on="__k"
     ).select(
         F.col("__id").alias(left_id), F.col("__rid").alias(right_id), F.col("rule")
     )
     # a pair may match several rules; keep the first rule name for lineage
-    return pairs.groupBy(left_id, right_id).agg(F.min("rule").alias("rule"))
+    return pairs.groupBy(left_id, right_id).agg(
+        F.min("rule").alias("__rule_idx")
+    ).select(
+        left_id,
+        right_id,
+        F.element_at(
+            F.array(*[F.lit(n) for n in rule_names]), F.col("__rule_idx") + 1
+        ).alias("rule"),
+    )
 
 
 def _rule_group(name: str) -> str:

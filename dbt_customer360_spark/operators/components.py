@@ -69,36 +69,40 @@ def connected_components(
     # is always a node of its own component, hence so is that node's
     # label. Halving makes label distance roughly double per step, so
     # convergence is O(log diameter) rounds instead of O(diameter).
+    comp_type = dict(labels.dtypes)["component"]
     for it in range(max_iter):
         obs = Observation(f"cc-prop-{it}")
         roots = labels.select(
             F.col("node").alias("__step"), F.col("component").alias("__root")
         )
-        cur = labels.withColumnRenamed("component", "__old").withColumn(
-            "component", F.col("__old")
+        # ONE join + union + ONE aggregation replaces the r5 shape's
+        # three joins per round: every node's self-row (which also
+        # carries the old label for the convergence count) and its
+        # neighbors' labels meet in a single groupBy(node) min. The
+        # self-row is always present, so the left-join-for-isolated-
+        # nodes of the old shape is subsumed by the union.
+        nbr_cand = sym.join(
+            labels.select(F.col("node").alias("b"), F.col("component").alias("cand")),
+            on="b",
+        ).select(F.col("a").alias("node"), "cand", F.lit(None).cast(comp_type).alias("old"))
+        self_rows = labels.select(
+            "node", F.col("component").alias("cand"), F.col("component").alias("old")
         )
-        nbr = (
-            sym.join(cur.select(F.col("node").alias("b"), "component"), on="b")
-            .groupBy("a")
-            .agg(F.min("component").alias("__nbr"))
-            .select(F.col("a").alias("node"), "__nbr")
-        )
-        cur = (
-            cur.join(nbr, on="node", how="left")
-            .withColumn(
-                "__step",
-                F.least(F.col("component"), F.coalesce("__nbr", "component")),
-            )
-            .drop("__nbr", "component")
-            .join(roots, on="__step", how="left")
-            .withColumn(
-                "component",
-                F.least(F.col("__step"), F.coalesce("__root", "__step")),
-            )
-            .drop("__step", "__root")
+        stepped = (
+            self_rows.unionByName(nbr_cand)
+            .groupBy("node")
+            .agg(F.min("cand").alias("__step"), F.max("old").alias("__old"))
         )
         new_labels = (
-            cur.observe(
+            stepped.join(roots, on="__step", how="left")
+            .select(
+                "node",
+                F.least(F.col("__step"), F.coalesce("__root", "__step")).alias(
+                    "component"
+                ),
+                "__old",
+            )
+            .observe(
                 obs,
                 F.sum((F.col("component") != F.col("__old")).cast("long")).alias(
                     "changed"

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from dbt_customer360_spark.session import spread_for_compute
+
 
 def lsn_dedup(df: DataFrame, keys: list[str], lsn_col: str = "lsn") -> DataFrame:
     """Keep only the highest-LSN row per key (ties impossible: LSN unique)."""
@@ -135,7 +137,8 @@ def _minhash_md5_arrow(text: Column, num_hashes: int, shingle_n: int) -> Column:
             out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return _sig(text)
+    # see simhash: prevent optimizer duplication of the heavy UDF
+    return _sig.asNondeterministic()(text)
 
 
 def minhash_md5_expr(text: Column, num_hashes: int = 32, shingle_n: int = 5) -> Column:
@@ -179,9 +182,11 @@ def minhash_lsh_pairs(
     driver's DuckDB oracle replays it exactly.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n, hash_family).alias("sig"),
+    # signature hashing is the heavy per-row step; spread a small scan
+    # across cores before it (no-op on at-scale inputs)
+    sig = spread_for_compute(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+        "id",
+        minhash_signature(F.col("__t"), num_hashes, shingle_n, hash_family).alias("sig"),
     )
     sig = sig.persist()
 
@@ -280,7 +285,11 @@ def simhash(text: Column, shingle_n: int = 3, hash_family: str = "blake2b") -> C
             out[i] = weights[votes > 0].sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
-    return _simhash(text)
+    # nondeterministic marker (guide-standard for expensive UDFs): stops
+    # the optimizer pushing join-key IsNotNull filters below the spread
+    # exchange, which DUPLICATED this UDF onto the single-task scan side
+    # (observed: ArrowEvalPython twice per join side). Values unchanged.
+    return _simhash.asNondeterministic()(text)
 
 
 def simhash_expr(text: Column, bits: int = 64, shingle_n: int = 3) -> Column:
@@ -330,7 +339,9 @@ def simhash_near_dups(
     ``max_bucket_size`` rows (deterministic min-id survivors) before the
     self-join, same bound as the minhash path — a popular prefix would
     otherwise square."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), hash_family=hash_family).alias("sh"))
+    s = spread_for_compute(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+        "id", simhash(F.col("__t"), hash_family=hash_family).alias("sh")
+    )
     s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
     w = Window.partitionBy("bucket").orderBy("id")
     s = s.withColumn("__rn", F.row_number().over(w)).filter(
@@ -365,12 +376,14 @@ def ngram_jaccard_pairs(
     """
     import math
 
-    grams = F.array_distinct(_shingles(F.col(text_col), n))
+    grams = F.array_distinct(_shingles(F.col("__t"), n))
     if block_col is not None:
-        base = df.select(
-            F.col(id_col).alias("id"), grams.alias("grams"),
-            F.col(block_col).cast("string").alias("block"),
-        )
+        base = spread_for_compute(
+            df.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__t"),
+                F.col(block_col).cast("string").alias("block"),
+            )
+        ).select("id", grams.alias("grams"), "block")
         a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
         b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     else:
@@ -378,9 +391,9 @@ def ngram_jaccard_pairs(
             raise ValueError("threshold must be > 0 when block_col is None (length blocking)")
         k = math.ceil(math.log2(1.0 / threshold)) if threshold < 1.0 else 0
         bucket = F.floor(F.log2(F.size("grams") + F.lit(1))).cast("int")
-        base = df.select(F.col(id_col).alias("id"), grams.alias("grams")).withColumn(
-            "__bucket", bucket
-        )
+        base = spread_for_compute(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        ).select("id", grams.alias("grams")).withColumn("__bucket", bucket)
         # probe side fans out to the k adjacent buckets on each side;
         # build side keeps its own bucket -> equi-join, never cartesian
         a = base.select(

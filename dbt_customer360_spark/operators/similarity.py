@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from dbt_customer360_spark.session import spread_for_compute
+
 
 def _sq_dist_arrow(v: Column, c: Column) -> Column:
     """Arrow twin of the ``_sq_dist`` fold — BIT-identical, ~10x faster.
@@ -56,6 +58,20 @@ def _sq_dist_arrow(v: Column, c: Column) -> Column:
         return pd.Series(acc)
 
     return _sq(v, c)
+
+
+def _sq_dist_best(v: Column, c: Column, dim: int | None) -> Column:
+    """Fastest bit-identical squared-distance shape for a known dim:
+    the codegen chain (straight-line JVM arithmetic, no Python
+    boundary) for moderate dims, the Arrow twin above it. All three
+    shapes share one IEEE add order (pinned in
+    tests/test_ops.py::test_sq_dist_arrow_equals_fold), so swapping is
+    value-invisible; the chain removes the per-pair JVM->Python Arrow
+    round-trip from the k-means/IVF hot loops (corpus x centroids
+    pairs each shipped 2*dim doubles)."""
+    if dim is not None and dim <= 256:
+        return _sq_dist(v, c, dim)
+    return _sq_dist_arrow(v, c)
 
 
 def _sq_dist(v: Column, c: Column, dim: int | None) -> Column:
@@ -121,7 +137,9 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = spread_for_compute(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -277,9 +295,13 @@ def kmeans_centroids(
             F.col("v").alias("centroid"),
         )
     )
-    pts = corpus.select(F.col("vec_id").alias("__pid"), F.col(vec_col).cast("array<double>").alias("v"))
+    # the assignment crossJoin fans out x k; a single-split training
+    # input would run it one-task (session.spread_for_compute)
+    pts = spread_for_compute(
+        corpus.select(F.col("vec_id").alias("__pid"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     for _ in range(iters):
-        dist = _sq_dist_arrow(F.col("v"), F.col("centroid"))
+        dist = _sq_dist_best(F.col("v"), F.col("centroid"), dim)
         # argmin per point via min_by hash-aggregation (partial agg
         # combines map-side) — NOT a window over the full vector, which
         # would shuffle every embedding by its own bytes
@@ -371,10 +393,10 @@ def kmeans_centroids_shared(
             F.col("v").alias("centroid"),
         )
     )
-    pts = base.select("vec_id", "v")
+    pts = spread_for_compute(base.select("vec_id", "v"))
     dec = "decimal(28,14)"
     for _ in range(iters):
-        dist = _sq_dist_arrow(F.col("v"), F.col("centroid"))
+        dist = _sq_dist_best(F.col("v"), F.col("centroid"), dim)
         assigned = (
             pts.crossJoin(centroids)
             .withColumn("d", dist)
@@ -432,9 +454,11 @@ def ivf_topk_shared(
     min_by corpus assignment, window-probed queries, per-cell exact
     cosine, per-query rank)."""
     cents = kmeans_centroids_shared(corpus, dim, k=n_centroids, seed=seed, vec_col=vec_col)
-    dist = _sq_dist_arrow(F.col("__v"), F.col("centroid"))
+    dist = _sq_dist_best(F.col("__v"), F.col("centroid"), dim)
     c = (
-        corpus.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        spread_for_compute(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        )
         .crossJoin(cents)
         .withColumn("d", dist)
         .groupBy("neighbor_id")
@@ -482,11 +506,13 @@ def ivf_topk(
     cents = kmeans_centroids(corpus, dim, k=n_centroids, seed=seed, train_sample=train_sample)
 
     def assign(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        dist = _sq_dist_arrow(F.col("__v"), F.col("centroid"))
+        dist = _sq_dist_best(F.col("__v"), F.col("centroid"), dim)
         scored = (
-            df.select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).cast("array<double>").alias("__v"),
+            spread_for_compute(
+                df.select(
+                    F.col(id_col).alias(id_alias),
+                    F.col(vec_col).cast("array<double>").alias("__v"),
+                )
             )
             .crossJoin(cents)
             .withColumn("d", dist)
@@ -545,7 +571,7 @@ def brute_force_topk_int8(
         )
 
     q = F.broadcast(_q(queries, "query"))
-    c = _q(corpus, "neighbor")
+    c = spread_for_compute(_q(corpus, "neighbor"))
     dot = F.aggregate(
         F.zip_with(
             F.col("query_q"), F.col("neighbor_q"), lambda a, b: (a * b).cast("long")

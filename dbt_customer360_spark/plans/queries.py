@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from dbt_customer360_spark.functions import fast as NF, normalize as N
 from dbt_customer360_spark.operators import dedup, golden, match, similarity, textstats
 from dbt_customer360_spark.operators.components import connected_components
+from dbt_customer360_spark.session import spread_for_compute
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -33,6 +34,13 @@ ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tc(spark: SparkSession, sf_dir: str, name: str, cols: list[str]) -> DataFrame:
+    """Scan for per-row-heavy compute: project to the needed columns,
+    then spread a small (single-split) scan across cores — see
+    session.spread_for_compute; a no-op at real scale."""
+    return spread_for_compute(_t(spark, sf_dir, name).select(*cols))
 
 
 def query(name: str, oracle: str | None = None):
@@ -706,8 +714,10 @@ def name_titles_suffixes_strip(spark, sf):
         F.col("c_custkey") % 2 == 0,
         F.concat(F.lit(" "), F.element_at(arr, (F.col("c_custkey") % 5 + 1).cast("int"))),
     ).otherwise(F.lit(""))
-    c = _t(spark, sf, "customer").select(
-        "c_custkey", F.concat(_title_input_spark(), sfx).alias("full_name")
+    c = spread_for_compute(
+        _t(spark, sf, "customer").select(
+            "c_custkey", F.concat(_title_input_spark(), sfx).alias("full_name")
+        )
     )
     tsplit = NF.name_titles_fast("full_name")
     titled = c.select(
@@ -796,7 +806,7 @@ def street_suffix_expand(spark, sf):
         F.lit(" Main "),
         F.element_at(arr, (F.col("c_custkey") % 8 + 1).cast("int")),
     )
-    named = c.select("c_custkey", addr.alias("address_line_1"))
+    named = spread_for_compute(c.select("c_custkey", addr.alias("address_line_1")))
     return named.select(
         "c_custkey",
         "address_line_1",
@@ -1010,7 +1020,7 @@ def repetition_quality_docs(spark, sf):
     length — exact integer counts, one double division each, computed
     entirely inside the scan stage (sorted-run fold, no explode/shuffle
     on the Spark side; the oracle uses unnest+group-by, same values)."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     # Arrow fast path (one struct UDF evaluation, expanded after) —
     # bit-identical to the JVM fold twin, pinned by
     # test_repetition_arrow_equals_jvm_twin
@@ -1341,7 +1351,7 @@ _QUALITY_ORACLE = """
 @query("quality_score_docs", _QUALITY_ORACLE)
 def quality_score_docs(spark, sf):
     """Text quality scoring (length/punct/stopword features)."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     feats = textstats.quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -1364,7 +1374,7 @@ def quality_score_docs(spark, sf):
 )
 def token_counts_docs(spark, sf):
     """Token counting: whitespace + BPE-ish regex."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     return d.select(
         "doc_id",
         textstats.token_count_ws(F.col("text")).alias("ws_tokens"),
@@ -1416,7 +1426,7 @@ def pii_scrub_docs(spark, sf):
     typed tags, with per-kind redaction counts — a sequential
     regexp_replace chain, JVM-side, rendered from the same
     PII_PATTERNS table as the DuckDB oracle."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     scrubbed, counts = textstats.pii_scrub(F.col("text"))
     return d.select(
         "doc_id",
@@ -1431,7 +1441,7 @@ ORACLES["langid_docs"] = _langid_oracle()
 @query("langid_docs")
 def langid_docs(spark, sf):
     """Language ID via stopword-hit-rate argmax (n-gram heuristic)."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -1456,7 +1466,7 @@ _FINGERPRINT_ORACLE = """
 def fingerprint_docs(spark, sf):
     """Document fingerprint: min rolling hash over 8-gram windows
     (winnowing-lite), md5 family so DuckDB reproduces it exactly."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     return d.select(
         "doc_id", textstats.fingerprint(F.col("text"), hash_family="md5").alias("fingerprint")
     )
@@ -1983,7 +1993,7 @@ def bm25_scores_docs(spark, sf):
     (no ln(); every step is an exactly-rounded IEEE op). Lives in the
     extra registry (attested roster is at the 50-entry cap); fully
     hash-checked by tools/check_oracles.py."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     return textstats.bm25_scores(d, "doc_id", "text", _BM25_TERMS)
 
 
@@ -2123,7 +2133,7 @@ def udf_sha256_lang(spark, sf):
     UDFs are proven equal to native implementations in one query.
     (Folded from the r3/r4 `sha256_invariant` + `lang_normalize`
     entries in round 5 to free cap space.)"""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     variants = F.array(*[F.lit(x) for x in _UDF_LANGS])
     raw = F.element_at(variants, (F.col("doc_id") % 8 + 1).cast("int"))
     named = d.select("doc_id", "text", raw.alias("raw_lang"))
@@ -2837,7 +2847,7 @@ def inverted_index_docs(spark, sf):
     the follow-up groupBy reuses (no second exchange, plan-pinned in
     tests/test_profile.py), and the cap bounds the agg buffer for
     head terms — never O(corpus) per key."""
-    d = _t(spark, sf, "documents")
+    d = _tc(spark, sf, "documents", ["doc_id", "text"])
     return textstats.inverted_index(d, min_df=5, max_postings=20)
 
 

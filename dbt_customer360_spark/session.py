@@ -63,6 +63,25 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = max(2 * n, 32)
 
+    # Scan-parallelism floor: a small table often lands in ONE split
+    # (file < maxPartitionBytes), so any per-row-heavy operator chained
+    # before the first exchange runs single-task. The floor divides
+    # large files into more byte ranges when the scan would otherwise
+    # produce fewer splits than cores; big inputs (>> cores splits)
+    # are unaffected, so the setting is scale-adaptive, not a local
+    # tune. (Row-group granularity still caps the effect for single-
+    # row-group files — spread_for_compute below covers those.)
+    min_partition_num = None
+    try:
+        min_partition_num = int(cores)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        if isinstance(cores, str) and cores.startswith("local["):
+            inner = cores[len("local["):-1]
+            if inner.isdigit():
+                min_partition_num = int(inner)
+            elif inner == "*":
+                min_partition_num = os.cpu_count() or None
+
     builder = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -83,9 +102,34 @@ def get_spark(
         # with real min/max stats
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
+    if min_partition_num:
+        builder = builder.config(
+            "spark.sql.files.minPartitionNum", str(min_partition_num)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread_for_compute(df, factor: int = 1):
+    """Round-robin repartition a small input up to the cluster's
+    parallelism so per-row-heavy compute (signature UDFs, normalizer
+    chains, distance fan-outs) is not serialized on the scan's input
+    splits — a single-row-group parquet file is ONE task no matter the
+    split settings, and everything before the first exchange then runs
+    on one core. No-op when the input already has at least
+    defaultParallelism partitions (any real at-scale table), so this
+    never adds a shuffle to the 100 TB path. Project to the needed
+    columns BEFORE calling, so only those bytes are shuffled."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk, stay lazy
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
 
 
 def local_df(spark: SparkSession, rows: list, ddl: str):

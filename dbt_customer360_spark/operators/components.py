@@ -112,8 +112,21 @@ def connected_components(
         )
         labels = ckpt(new_labels)
         if (obs.get["changed"] or 0) == 0:
+            converged = True
             break
-    # one more pass: path-compress labels through the label table itself
+    else:
+        converged = False
+    if converged:
+        # The prop fixed point IS full convergence — no compress pass
+        # needed. Proof: labels are always node ids of their own
+        # component and component-min m keeps label m; stability at a
+        # neighbor y of m forces label(y) <= label(m) = m, and >= m
+        # (no smaller id exists in the component), so label(y) = m;
+        # induction along any path spreads m to every node. The
+        # compress loop below therefore only runs as a fallback when
+        # max_iter exhausted before changed hit 0.
+        return labels
+    # fallback pass: path-compress labels through the label table itself
     # (label of my label), so chains settle to the true minimum
     for it in range(max_iter):
         obs = Observation(f"cc-compress-{it}")

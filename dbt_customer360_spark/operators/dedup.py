@@ -188,7 +188,10 @@ def minhash_lsh_pairs(
         "id",
         minhash_signature(F.col("__t"), num_hashes, shingle_n, hash_family).alias("sig"),
     )
-    sig = sig.persist()
+    # no persist: the self-join's two branches share the banding
+    # window's Exchange via ReuseExchange (identical subtrees), so the
+    # signature UDF runs ONCE; a persist here turned both branches into
+    # independent cache-builds that raced and computed the UDF twice.
 
     def band_bucket(b: int) -> F.Column:
         joined = F.concat_ws(

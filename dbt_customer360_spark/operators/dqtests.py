@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def not_null_violations(df: DataFrame, cols: list[str]) -> dict[str, F.Column]:
+def not_null_violations(cols: list[str]) -> dict[str, F.Column]:
     """One conditional-count agg expression per column (fuse them into
     a single df.agg with the accepted_values counts)."""
     return {
@@ -41,9 +41,7 @@ def not_null_violations(df: DataFrame, cols: list[str]) -> dict[str, F.Column]:
     }
 
 
-def accepted_values_violations(
-    df: DataFrame, col: str, values: list
-) -> F.Column:
+def accepted_values_violations(col: str, values: list) -> F.Column:
     """Rows whose value is outside the accepted set. NULLs do NOT
     violate (that's not_null's job — same split dbt makes)."""
     return F.sum(
@@ -97,11 +95,11 @@ def run_schema_tests(
         df = tables[tname]
         aggs = []
         labels = []
-        for c in tspec.get("not_null", []):
-            aggs.append(F.sum(F.col(c).isNull().cast("long")))
+        for c, expr in not_null_violations(tspec.get("not_null", [])).items():
+            aggs.append(expr)
             labels.append(("not_null", f"{tname}.{c}"))
         for c, vals in tspec.get("accepted_values", {}).items():
-            aggs.append(accepted_values_violations(df, c, vals))
+            aggs.append(accepted_values_violations(c, vals))
             labels.append(("accepted_values", f"{tname}.{c}"))
         if aggs:
             counts = df.agg(*aggs).first()

@@ -132,8 +132,12 @@ def zscore_outliers(
         .groupBy(*by)
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.sum(v).alias("__s"),
-            F.sum(v * v).alias("__s2"),
+            # widen BEFORE multiplying: v*v on an IntegerType column
+            # silently wraps int32 in non-ANSI Spark for |v| >= 46341
+            # (e.g. n_chars of a ~46 KB doc) while the DuckDB twin
+            # raises — bigint keeps both engines exact (r5 ADVICE #1)
+            F.sum(v.cast("long")).alias("__s"),
+            F.sum(v.cast("long") * v.cast("long")).alias("__s2"),
         )
         .withColumn("__mean", F.col("__s").cast("double") / F.col("__cnt"))
         .withColumn(

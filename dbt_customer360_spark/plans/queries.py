@@ -2791,7 +2791,8 @@ def quantiles_docs(spark, sf):
 _ZSCORE_ORACLE = """
     with stats as (
       select lang,
-             count(*) as cnt, sum(n_chars) as s, sum(n_chars * n_chars) as s2
+             count(*) as cnt, sum(cast(n_chars as bigint)) as s,
+             sum(cast(n_chars as bigint) * cast(n_chars as bigint)) as s2
       from documents where n_chars is not null group by lang),
     st2 as (
       select lang,

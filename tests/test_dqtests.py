@@ -57,7 +57,7 @@ def test_scalar_checks_fuse_into_one_agg(spark):
     aggs = [
         F.sum(F.col("id").isNull().cast("long")),
         F.sum(F.col("s").isNull().cast("long")),
-        dqtests.accepted_values_violations(df, "s", ["a"]),
+        dqtests.accepted_values_violations("s", ["a"]),
     ]
     plan = _plan(df.agg(*aggs))
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") <= 1

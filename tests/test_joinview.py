@@ -273,3 +273,46 @@ def test_join_view_random_interleavings_converge(spark):
             assert _got(view) == _expect(fact, dim), f"diverged at round {rnd}"
     jv.refresh()
     assert _got(view) == _expect(fact, dim)
+
+
+def test_dim_side_broadcast_is_key_pruned(spark):
+    """The refresh's dim read is bucket-pruned to the candidate keys'
+    buckets (never the whole dim), mirroring the fact side — the r5
+    'whole-dim broadcast' scale gap."""
+    fact, dim, view, jv = _setup(spark, bucket_cols=["ck"])
+    dim.merge(_ddf(spark, [(k, f"s{k}") for k in range(64)]), ["ck"], batch_id="d0")
+    fact.merge(
+        _fdf(spark, [(i, i % 64, i) for i in range(64)]), ["ck", "ok"], batch_id="f0"
+    )
+    jv.refresh()
+    # pick keys hashing to ONE of the dim's 2 buckets
+    m = dim._read_manifest()
+    probe = (
+        _ddf(spark, [(k, "x") for k in range(64)])
+        .select(F.col("ck"), dim._bucket_expr(["ck"], m).alias("__b"))
+        .collect()
+    )
+    b0 = [r["ck"] for r in probe if str(r["__b"]) == "0"]
+    assert b0, "expected some keys in bucket 0"
+    keys = spark.createDataFrame([(k,) for k in b0[:3]], "ck bigint")
+    rows = jv._bucket_pruned_rows(dim, dim.current_snapshot_id(), keys, "ck", ["ck"])
+    files = set(rows.inputFiles())
+    assert files and files < set(dim.read().inputFiles())
+    # refresh correctness after a dim change is unchanged
+    dim.merge(_ddf(spark, [(b0[0], "changed")]), ["ck"], batch_id="d1")
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)
+
+
+def test_join_view_dim_before_first_fact_commit(spark):
+    """A dim commit before the fact's FIRST commit is a clean no-op
+    that still advances the dim cursor (r5 ADVICE #2)."""
+    fact, dim, view, jv = _setup(spark)
+    dim.merge(_ddf(spark, [(1, "gold")]), ["ck"], batch_id="d0")
+    assert jv.refresh() is None
+    assert jv.dim_reader.position() == dim.current_snapshot_id()
+    # later commits on both sides then converge normally
+    fact.merge(_fdf(spark, [(10, 1, 100)]), ["ck", "ok"], batch_id="f0")
+    dim.merge(_ddf(spark, [(2, "basic")]), ["ck"], batch_id="d1")
+    jv.refresh()
+    assert _got(view) == _expect(fact, dim)

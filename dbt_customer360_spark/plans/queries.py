@@ -105,7 +105,10 @@ def _q6(col):
 )
 def pricing_summary(spark, sf):
     """A1/A3/A4: hash group-by with coalesced metric sums (customer.sql:34-51)."""
-    li = _t(spark, sf, "lineitem")
+    li = _tc(
+        spark, sf, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
     qty = F.col("l_quantity").cast(DEC)
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast(DEC)

@@ -27,12 +27,45 @@ from pyspark.sql import functions as F
 from dbt_customer360_spark.session import ensure_checkpoint_dir
 
 
+def _union_find_local(sym: DataFrame) -> DataFrame:
+    """Driver union-find over a small symmetrized edge list; returns a
+    JVM LocalRelation (session.local_df) of (node, component) with
+    component = min node id of the set — byte-identical to the
+    distributed fixed point."""
+    from dbt_customer360_spark.session import local_df
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in sym.select("a", "b").toLocalIterator():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id: the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    t = sym.schema["a"].dataType.simpleString()
+    return local_df(sym.sparkSession, rows, f"node {t}, component {t}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
@@ -40,6 +73,19 @@ def connected_components(
     ``checkpoint_dir``: when given, per-round lineage cuts go through
     reliable-storage ``checkpoint()`` (the dir is set once on the
     SparkContext) instead of ``localCheckpoint``.
+
+    ``small_graph_edges``: symmetrized-edge threshold below which the
+    component labels are computed with a driver-side union-find over
+    the (already checkpointed, deduplicated) edge list instead of the
+    iterative min-label rounds. Match graphs are usually SPARSE —
+    near-dup clusters of a huge corpus produce few edges — and each
+    distributed round costs several jobs regardless of size, so tiny
+    graphs were paying ~10x pure scheduling overhead. The collect is
+    bounded by the threshold (checked first with a count on the
+    checkpointed edges — never an unbounded driver pull), the result
+    is identical (component = min reachable id, exactly what
+    union-by-min computes), and graphs above the threshold take the
+    distributed path unchanged — at 10^10 edges nothing is collected.
     """
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -55,6 +101,8 @@ def connected_components(
         .dropDuplicates(["a", "b"])
     )
     sym = ckpt(sym)
+    if small_graph_edges and sym.count() <= small_graph_edges:
+        return _union_find_local(sym)
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("component"))

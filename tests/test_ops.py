@@ -572,3 +572,20 @@ def test_ivf_int8_recall_vs_fp32_cells(spark):
     # production path: sample-trained centroids, no oracle constraint
     prod = similarity.ivf_topk_int8(e, q, dim=64, k=5, n_centroids=8, n_probe=2)
     assert prod.count() == 40
+
+
+def test_connected_components_small_path_equals_distributed(spark):
+    """The driver union-find fast path (small graphs) must be
+    byte-identical to the distributed min-label rounds on an irregular
+    graph with chains, stars, singleton-adjacent pairs and self-loops."""
+    from dbt_customer360_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 two-node comps
+    edges += [(100, 100 + k) for k in range(1, 6)]          # star at 100
+    edges += [(200 + k, 201 + k) for k in range(10)]        # chain 200..210
+    edges += [(300, 300)]                                   # self loop
+    edges += [(401, 400), (402, 401)]                       # reversed chain
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fast = connected_components(df)                         # under threshold
+    slow = connected_components(df, small_graph_edges=0)    # force distributed
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))

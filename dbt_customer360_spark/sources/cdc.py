@@ -150,6 +150,14 @@ def generate_change_events(
         )
         .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")))
     )
-    return df.select(
+    out = df.select(
         "lsn", "op", "repo", "path", "commit", "lang", "content", "source_connector", "ts"
     )
+    # The version window above inherits spark.sql.shuffle.partitions
+    # (2-3x cores) output partitions; consumers persist this stream and
+    # re-scan it per micro-batch, so every epoch's map wave paid that
+    # many near-empty tasks. Coalesce (no shuffle; only merges, never
+    # splits) down to the core count — a no-op whenever the window
+    # already has fewer partitions.
+    par = spark.sparkContext.defaultParallelism
+    return out.coalesce(par)

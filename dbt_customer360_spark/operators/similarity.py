@@ -375,6 +375,171 @@ def kmeans_centroids(
     return centroids
 
 
+# Bounded-pull ceiling for the driver-side Lloyd twin: rows*dim cells
+# (4M cells ~ 32 MB of doubles). Below it the whole training set fits
+# comfortably on the driver and the per-iteration numpy replay replaces
+# ~2 Spark jobs per Lloyd iteration; above it (any at-scale corpus) the
+# distributed loop runs unchanged.
+_KMEANS_DRIVER_MAX_CELLS = 4_194_304
+# optimizer-estimate ceiling for even ATTEMPTING the bounded pull (the
+# limit alone would still schedule a task per input split at scale)
+_KMEANS_DRIVER_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _kmeans_shared_driver(base: DataFrame, dim: int, k: int, iters: int):
+    """Driver-side twin of the distributed Lloyd loop in
+    :func:`kmeans_centroids_shared` — BIT-identical, used only when the
+    training set passes a bounded-size pull (same pattern as the
+    connected-components union-find fast path).
+
+    Why it can be exact:
+    - distances: numpy elementwise ops accumulated sequentially across
+      dims — the same IEEE add order as ``_sq_dist_arrow`` (same
+      operands, same order, so the same doubles);
+    - assignment: first-occurrence argmin over (d, centroid_id) with
+      centroid columns in id order ≡ ``min_by(struct(d, cid))``;
+    - mean step: the decimal(28,14) cast is computed BY SPARK and
+      pulled as native Arrow decimal128 — the 128-bit two's-complement
+      unscaled values are read straight from the Arrow buffers, so the
+      scaled integers are EXACTLY the JVM's (never a Python
+      re-derivation of the double→decimal rounding); integer sums are
+      exact and order-free, exactly like the distributed DECIMAL
+      aggregation;
+    - division + round(…, 9): float64 IEEE division and a HALF_UP
+      9 dp quantize, the same two exactly-rounded steps as
+      ``round(cast(sum as double) / count, 9)``.
+
+    Pinned against the distributed loop (including on full-precision
+    adversarial doubles) in tests/test_ops.py. Returns None — meaning
+    "fall back to the distributed loop" — when the pull exceeds the
+    cell bound or the data violates the fast path's preconditions
+    (NULLs, non-finite values, ragged widths, duplicate or non-integer
+    ids)."""
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from dbt_customer360_spark.session import local_df
+
+    # no-job size gate: for an at-scale corpus the fast path must not
+    # even start a pull, and a LIMIT alone still schedules a task per
+    # split. The optimizer's sizeInBytes estimate (file sizes for file
+    # sources) is read driver-side without running anything.
+    try:
+        est = int(base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - stats unavailable: stay safe
+        return None
+    if est > _KMEANS_DRIVER_MAX_BYTES:
+        return None
+    limit = max(k, _KMEANS_DRIVER_MAX_CELLS // max(dim, 1))
+    dec = "decimal(28,14)"
+    try:
+        tbl = (
+            # limit first (bounded), then spread the bounded rows so
+            # the JVM decimal casts run on all cores instead of the
+            # scan's (often single) input split
+            base.limit(limit + 1)
+            .repartition(base.sparkSession.sparkContext.defaultParallelism)
+            .select(
+                "vec_id",
+                "v",
+                "h",
+                F.transform("v", lambda x: x.cast(dec)).alias("vd"),
+            )
+            .toArrow()
+        )
+    except Exception:  # pragma: no cover - non-scalar id types etc.
+        return None
+    n = tbl.num_rows
+    if n > limit:
+        return None  # at-scale corpus: distributed loop
+    ddl = "centroid_id int, centroid array<double>"
+    if n == 0:
+        return F.broadcast(local_df(base.sparkSession, [], ddl))
+    import pyarrow as pa
+
+    id_arr = tbl.column("vec_id").combine_chunks()
+    h_arr = tbl.column("h").combine_chunks()
+    v_arr = tbl.column("v").combine_chunks()
+    d_arr = tbl.column("vd").combine_chunks()
+    if (
+        not pa.types.is_integer(id_arr.type)
+        or id_arr.null_count
+        or h_arr.null_count
+        or v_arr.null_count
+        or d_arr.null_count
+    ):
+        return None
+    ids = id_arr.to_numpy()
+    hs = h_arr.to_numpy()
+    if len(np.unique(ids)) != n:
+        return None
+    # ragged-width guard: every vector must be exactly `dim` wide
+    v_lens = np.diff(v_arr.offsets.to_numpy())
+    d_lens = np.diff(d_arr.offsets.to_numpy())
+    if (v_lens != dim).any() or (d_lens != dim).any():
+        return None
+    v_flat = v_arr.flatten()
+    d_flat = d_arr.flatten()
+    if v_flat.null_count or d_flat.null_count:
+        return None
+    V = v_flat.to_numpy().reshape(n, dim)
+    if not np.isfinite(V).all():
+        return None
+    # decimal128 unscaled values, straight off the Arrow buffer:
+    # 16-byte little-endian two's complement per value. Split into
+    # three lanes (low 32, next 32, signed high 64) so per-(centroid,
+    # dim) sums stay vectorized int64 AND exact: lane sums over
+    # n <= 4M rows are < 2^52 (low lanes) / < n * 2^30 (high lane,
+    # |unscaled| < 10^28 < 2^94).
+    dbuf = d_flat.buffers()[1]
+    raw = np.frombuffer(
+        dbuf, dtype=np.uint64, count=2 * len(d_flat), offset=16 * d_flat.offset
+    ).reshape(-1, 2)
+    lo64 = raw[:, 0]
+    S_hi = raw[:, 1].view(np.int64).reshape(n, dim)
+    S_a = (lo64 & np.uint64(0xFFFFFFFF)).astype(np.int64).reshape(n, dim)
+    S_b = (lo64 >> np.uint64(32)).astype(np.int64).reshape(n, dim)
+    # init: k smallest (h, vec_id); centroid_id = rank
+    order = np.lexsort((ids, hs))[: min(k, n)]
+    cent_ids = list(range(len(order)))
+    C = V[order].copy()
+    E14 = Decimal(10) ** -14
+    Q9 = Decimal("1e-9")
+    for _ in range(iters):
+        kk = len(cent_ids)
+        acc = np.zeros((n, kk), dtype=np.float64)
+        for i in range(dim):
+            t = V[:, i, None] - C[None, :, i]
+            acc = acc + t * t
+        # first-occurrence argmin == min_by(struct(d, centroid_id))
+        # with columns already in ascending centroid_id order
+        assign = np.argmin(acc, axis=1)
+        next_ids: list[int] = []
+        next_cents: list[list[float]] = []
+        for ci in range(kk):
+            mask = assign == ci
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue  # empty group: absent, exactly like groupBy
+            hi = S_hi[mask].sum(axis=0, dtype=np.int64)
+            b = S_b[mask].sum(axis=0, dtype=np.int64)
+            a = S_a[mask].sum(axis=0, dtype=np.int64)
+            mean = []
+            for d_i in range(dim):
+                total = (int(hi[d_i]) << 64) + (int(b[d_i]) << 32) + int(a[d_i])
+                raw = float(Decimal(total) * E14) / float(cnt)
+                m = float(Decimal(repr(raw)).quantize(Q9, rounding=ROUND_HALF_UP))
+                # java BigDecimal has no negative zero: round() there
+                # yields +0.0 where Python's quantize keeps -0.0
+                mean.append(m if m != 0.0 else 0.0)
+            next_ids.append(cent_ids[ci])
+            next_cents.append(mean)
+        cent_ids = next_ids
+        C = np.array(next_cents, dtype=np.float64).reshape(len(next_ids), dim)
+    rows = [(cid, list(map(float, cvec))) for cid, cvec in zip(cent_ids, C)]
+    return F.broadcast(local_df(base.sparkSession, rows, ddl))
+
+
 def kmeans_centroids_shared(
     corpus: DataFrame,
     dim: int,
@@ -395,6 +560,13 @@ def kmeans_centroids_shared(
       one double division, rounded to 9 dp — so both engines hold
       bit-identical centroids between iterations (a raw double avg
       would drift with summation order).
+
+    Every step is a pure order-free function of the rows, so a bounded
+    corpus (``rows*dim <= _KMEANS_DRIVER_MAX_CELLS``) trains on the
+    driver via :func:`_kmeans_shared_driver` — one bounded pull instead
+    of ~2 Spark jobs per Lloyd iteration, byte-identical output. Larger
+    corpora (and any precondition violation) run the distributed loop
+    below unchanged.
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(f"ivf{seed}:"), F.col("vec_id").cast("string"))), 1, 15),
@@ -404,6 +576,9 @@ def kmeans_centroids_shared(
     base = corpus.select(
         F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v"), h.alias("h")
     )
+    fast = _kmeans_shared_driver(base, dim, k, iters)
+    if fast is not None:
+        return fast
     init = base.orderBy("h", "vec_id").limit(k)
     centroids = F.broadcast(
         init.select(

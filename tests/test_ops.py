@@ -574,6 +574,81 @@ def test_ivf_int8_recall_vs_fp32_cells(spark):
     assert prod.count() == 40
 
 
+def test_kmeans_shared_driver_path_equals_distributed(spark):
+    """The driver-side Lloyd fast path (bounded pull + Arrow decimal128
+    buffers) must be BIT-identical to the distributed loop — on real
+    embeddings AND on adversarial full-precision doubles (mixed
+    magnitudes, negative zeros, repeating-fraction ties) where any
+    re-derivation of the JVM's double->decimal rounding would diverge."""
+    import random
+    import struct
+
+    from dbt_customer360_spark.session import local_df
+
+    def canon(df):
+        return sorted(
+            (r["centroid_id"], tuple(struct.pack("<d", x) for x in r["centroid"]))
+            for r in df.collect()
+        )
+
+    def both(df, dim, k, iters):
+        fast = canon(similarity.kmeans_centroids_shared(df, dim, k=k, iters=iters))
+        old = similarity._KMEANS_DRIVER_MAX_CELLS
+        similarity._KMEANS_DRIVER_MAX_CELLS = 0  # force the distributed loop
+        try:
+            dist = canon(similarity.kmeans_centroids_shared(df, dim, k=k, iters=iters))
+        finally:
+            similarity._KMEANS_DRIVER_MAX_CELLS = old
+        return fast, dist
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fast, dist = both(e, 64, 8, 2)
+    assert fast == dist and len(fast) == 8
+
+    random.seed(7)
+    rows = [
+        (
+            i,
+            [
+                random.uniform(-50, 50) * (10 ** random.choice([-8, -3, 0, 0, 2]))
+                for _ in range(16)
+            ],
+        )
+        for i in range(500)
+    ]
+    rows += [
+        (
+            1000 + i,
+            [
+                random.choice([0.0, -0.0, 1e-15, -1e-15, 1.0 / 3.0, 123456.789])
+                for _ in range(16)
+            ],
+        )
+        for i in range(100)
+    ]
+    adv = local_df(spark, rows, "vec_id long, embedding array<double>")
+    fast, dist = both(adv, 16, 5, 3)
+    assert fast == dist and fast
+
+    # precondition violations fall back (still correct, just distributed):
+    # a NULL vector must not break the fast path's result
+    with_null = local_df(
+        spark,
+        rows[:50] + [(9999, None)],
+        "vec_id long, embedding array<double>",
+    )
+    assert similarity._kmeans_shared_driver(
+        with_null.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.xxhash64("vec_id").alias("h"),
+        ),
+        16,
+        4,
+        1,
+    ) is None
+
+
 def test_connected_components_small_path_equals_distributed(spark):
     """The driver union-find fast path (small graphs) must be
     byte-identical to the distributed min-label rounds on an irregular

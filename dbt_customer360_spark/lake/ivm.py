@@ -5,11 +5,13 @@ rescanning the source.
 The reference rebuilds every summary model from scratch each run
 (models/customer360__*.sql are full ``group by`` selects over the
 whole mapped history); at 100 TB a downstream rollup that re-reads the
-world per refresh IS the bottleneck. Here the rollup consumes the
-row-level change feed (:class:`ChangelogReader`) instead: each
-insert/delete/update_pre/update_post row becomes a signed contribution
-(+1/-1 weighted), ONE aggregation reduces the span to per-group
-deltas — O(|changes|), not O(|source|) — and
+world per refresh IS the bottleneck. Here the rollup folds the span's
+changed-bucket (old, new) sides (:meth:`LakeTable.changelog_sides`)
+directly: new-side rows contribute +1-weighted, old-side rows
+-1-weighted, ONE aggregation reduces the span to per-group deltas —
+O(|changed buckets|), not O(|source|), and WITHOUT the row-level
+changelog's full-outer key join (rows common to both sides cancel
+exactly inside the aggregation) — and
 :meth:`LakeTable.merge_additive` folds them into the stored totals,
 deleting groups whose live row count hits zero.
 
@@ -96,13 +98,26 @@ class IncrementalRollup:
         self.row_filter = row_filter
         self.reader = ChangelogReader(source, cursor_path)
 
-    def _delta(self, changes: DataFrame) -> DataFrame:
+    def _delta(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Signed per-group deltas straight from the span's (old, new)
+        changed-bucket sides: new rows contribute +1-weighted, old rows
+        -1-weighted, ONE aggregation nets them out. Because every
+        maintained aggregate forms a group under retraction, a row
+        common to both sides cancels exactly (+v + -v; long/decimal
+        sums are exact, and long wrap-around is mod-2^64 arithmetic,
+        which is associative), so the changelog's full-outer key join +
+        per-row change classification — previously the refresh's
+        dominant shuffle — is unnecessary. Group rows whose every
+        contribution nets to zero are dropped before the merge so
+        untouched groups in changed buckets don't rewrite rollup
+        buckets. Float-sum caveat as in the module docstring: cancel
+        order is reordered arithmetic, exact only for integer/decimal
+        columns (the pinned ones)."""
         if self.row_filter:
-            changes = changes.filter(F.expr(self.row_filter))
-        w = (
-            F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
-            .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
-            .otherwise(F.lit(0))
+            old = old.filter(F.expr(self.row_filter))
+            new = new.filter(F.expr(self.row_filter))
+        unioned = new.withColumn("__w", F.lit(1)).unionByName(
+            old.withColumn("__w", F.lit(-1))
         )
         exprs = [F.sum(F.col("__w")).cast("long").alias(_LIVE)]
         for a in self.aggs:
@@ -115,18 +130,23 @@ class IncrementalRollup:
             else:
                 e = F.sum(F.expr(a.col) * F.col("__w"))
             exprs.append(e.alias(a.out))
-        return changes.withColumn("__w", w).groupBy(*self.group_by).agg(*exprs)
+        delta = unioned.groupBy(*self.group_by).agg(*exprs)
+        net_zero = F.col(_LIVE) == 0
+        for a in self.aggs:
+            net_zero = net_zero & (
+                F.col(a.out).isNull() | (F.col(a.out) == 0)
+            )
+        return delta.filter(~net_zero)
 
     def refresh(self) -> int | None:
         """Fold all source commits since the cursor into the rollup.
         Returns the rollup snapshot id, or None when caught up."""
-        polled = self.reader.poll(include_preimage=True)
-        if polled is None:
+        frm, to = self.reader.position(), self.source.current_snapshot_id()
+        if to <= frm:
             return None
-        changes, to = polled
-        frm = self.reader.position()
+        old, new = self.source.changelog_sides(frm, to)
         sid = self.rollup.merge_additive(
-            self._delta(changes),
+            self._delta(old, new),
             self.group_by,
             liveness_col=_LIVE,
             batch_id=f"ivm:{frm}-{to}",

@@ -511,6 +511,79 @@ class LakeTable:
         by ``merge_lsn`` surface as updates to their op column, like
         any other stored row.
         """
+        _m_from, m_to, keys, cols, old_side, new_side = self._changelog_sides(
+            from_snapshot_id, to_snapshot_id
+        )
+        old = old_side.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(True).alias("__in_old")
+        )
+        new = new_side.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(True).alias("__in_new")
+        )
+        j = old.join(
+            new,
+            [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys],
+            "full_outer",
+        )
+        in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+        in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+        nonkeys = [c for c in cols if c not in keys]
+        row_changed = (
+            ~F.struct(*[F.col(f"__o_{c}") for c in nonkeys]).eqNullSafe(
+                F.struct(*[F.col(f"__n_{c}") for c in nonkeys])
+            )
+            if nonkeys
+            else F.lit(False)
+        )
+
+        def tagged(tag: str, prefix: str) -> F.Column:
+            return F.struct(
+                F.lit(tag).alias("_change_type"),
+                F.struct(*[F.col(f"{prefix}_{c}").alias(c) for c in cols]).alias("v"),
+            )
+
+        upd = (
+            F.array(tagged("update_preimage", "__o"), tagged("update_postimage", "__n"))
+            if include_preimage
+            else F.array(tagged("update_postimage", "__n"))
+        )
+        empty = F.slice(F.array(tagged("insert", "__n")), 1, 0)
+        entries = (
+            F.when(in_new & ~in_old, F.array(tagged("insert", "__n")))
+            .when(in_old & ~in_new, F.array(tagged("delete", "__o")))
+            .when(in_old & in_new & row_changed, upd)
+            .otherwise(empty)
+        )
+        return (
+            j.select(F.explode(entries).alias("e"))
+            .select(F.col("e._change_type").alias("_change_type"), "e.v.*")
+        )
+
+    def changelog_sides(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """(old_rows, new_rows) of the buckets whose file lists differ
+        between the two snapshots — the raw inputs :meth:`changelog`
+        joins, without the join. For consumers folding the span into
+        aggregates that form a group under retraction (count/sum, see
+        lake/ivm.py) the per-row diff is unnecessary: every row common
+        to both sides cancels exactly in ``agg(new) - agg(old)``, so
+        handing out the two sides lets them skip the full-outer
+        key join entirely. Same bucket pruning, merge-on-read
+        resolution, to-snapshot schema alignment, and expired-span
+        errors as :meth:`changelog`."""
+        _m_from, _m_to, _keys, _cols, old_side, new_side = self._changelog_sides(
+            from_snapshot_id, to_snapshot_id
+        )
+        return old_side, new_side
+
+    def _changelog_sides(
+        self, from_snapshot_id: int, to_snapshot_id: int | None
+    ) -> tuple[dict, dict, list[str], list[str], DataFrame, DataFrame]:
+        """Shared half of :meth:`changelog` / :meth:`changelog_sides`:
+        manifest span validation, changed-bucket discovery, and the
+        (old, new) bucket-pruned MoR-resolved reads under the
+        to-snapshot schema."""
         try:
             m_to = self._read_manifest(to_snapshot_id)
             m_from = self._read_manifest(from_snapshot_id)
@@ -580,50 +653,7 @@ class LakeTable:
             # cols override: both sides read under the TO-schema.
             return self._mor_resolve(m, base, rd(delta_rel), cols=cols)
 
-        old = side(m_from).select(
-            *[F.col(c).alias(f"__o_{c}") for c in cols], F.lit(True).alias("__in_old")
-        )
-        new = side(m_to).select(
-            *[F.col(c).alias(f"__n_{c}") for c in cols], F.lit(True).alias("__in_new")
-        )
-        j = old.join(
-            new,
-            [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys],
-            "full_outer",
-        )
-        in_old = F.coalesce(F.col("__in_old"), F.lit(False))
-        in_new = F.coalesce(F.col("__in_new"), F.lit(False))
-        nonkeys = [c for c in cols if c not in keys]
-        row_changed = (
-            ~F.struct(*[F.col(f"__o_{c}") for c in nonkeys]).eqNullSafe(
-                F.struct(*[F.col(f"__n_{c}") for c in nonkeys])
-            )
-            if nonkeys
-            else F.lit(False)
-        )
-
-        def tagged(tag: str, prefix: str) -> F.Column:
-            return F.struct(
-                F.lit(tag).alias("_change_type"),
-                F.struct(*[F.col(f"{prefix}_{c}").alias(c) for c in cols]).alias("v"),
-            )
-
-        upd = (
-            F.array(tagged("update_preimage", "__o"), tagged("update_postimage", "__n"))
-            if include_preimage
-            else F.array(tagged("update_postimage", "__n"))
-        )
-        empty = F.slice(F.array(tagged("insert", "__n")), 1, 0)
-        entries = (
-            F.when(in_new & ~in_old, F.array(tagged("insert", "__n")))
-            .when(in_old & ~in_new, F.array(tagged("delete", "__o")))
-            .when(in_old & in_new & row_changed, upd)
-            .otherwise(empty)
-        )
-        return (
-            j.select(F.explode(entries).alias("e"))
-            .select(F.col("e._change_type").alias("_change_type"), "e.v.*")
-        )
+        return m_from, m_to, keys, cols, side(m_from), side(m_to)
 
     # --- writes ------------------------------------------------------------------
 

@@ -113,10 +113,10 @@ def test_redelivery_after_cursor_crash_is_noop(spark, tmp_path):
         batch_id="b1",
     )
     # simulate: rollup commit lands, cursor write crashes
-    changes, to = ivm.reader.poll(include_preimage=True)
-    frm = ivm.reader.position()
+    frm, to = ivm.reader.position(), src.current_snapshot_id()
+    old, new = src.changelog_sides(frm, to)
     sid = roll.merge_additive(
-        ivm._delta(changes), ["g"], liveness_col="__live_rows", batch_id=f"ivm:{frm}-{to}"
+        ivm._delta(old, new), ["g"], liveness_col="__live_rows", batch_id=f"ivm:{frm}-{to}"
     )
     # crash here: cursor NOT committed; a later refresh redelivers the span
     assert ivm.refresh() == sid  # ledger no-op, same snapshot

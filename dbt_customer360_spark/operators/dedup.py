@@ -226,17 +226,23 @@ def minhash_lsh_pairs(
     b = banded.select(
         F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
     )
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
     )
-    return pairs.select(
-        "id_a", "id_b", (agree / F.lit(float(len(range(num_hashes))))).alias("est_jaccard")
+    # score BEFORE the pair dedup: est_jaccard is a pure function of
+    # the two signatures, so every duplicate candidate row (one per
+    # shared band) carries the identical value and dropDuplicates then
+    # shuffles 3 narrow columns instead of two 32-long signature
+    # arrays per row (guide §2.3: shuffle fewer bytes)
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (agree / F.lit(float(len(range(num_hashes))))).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -409,16 +415,17 @@ def ngram_jaccard_pairs(
             F.col("id").alias("id_b"),
             F.col("grams").alias("g_b"),
         )
-    pairs = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size(F.array_union("g_a", "g_b"))
+    # score + threshold BEFORE the pair dedup: jaccard is a pure
+    # function of the two gram sets, so duplicate candidate rows (one
+    # per shared block) carry identical values — the dedup then
+    # shuffles 3 narrow columns instead of two full gram arrays per
+    # row, and the threshold prunes rows ahead of that exchange
     return (
-        pairs.select(
-            "id_a", "id_b", (inter / union).alias("jaccard")
-        )
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
